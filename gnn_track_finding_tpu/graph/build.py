@@ -1,0 +1,182 @@
+"""Host-side ingest: raw event arrays -> padded GraphState.
+
+Replaces the reference's pandas/NetworkX construction path
+(helper.py:465-545, event_conversion.py:62-101) with array building:
+dedup + bidirectional expansion of the undirected edge list
+(helper.py:510-518), union-find connected components
+(event_conversion.py:84), dense layer/particle re-indexing, fixed-K
+in/out-edge tables in CSV insertion order (reproducing NetworkX adjacency
+iteration order), and padding to static shape buckets so jitted programs
+recompile only across bucket boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.state import GraphState
+
+
+@dataclasses.dataclass
+class HostEvent:
+    """Host-only per-event data (evaluation, provenance); never on device."""
+    node_ids: np.ndarray            # original node_idx per dense node
+    particle_ids: np.ndarray        # original (int64) particle id per dense truth idx
+    # node -> hits dissociation (reference 'hit_dissociation', helper.py:474-478)
+    hit_ids: Optional[List[np.ndarray]] = None
+    hit_particle_ids: Optional[List[np.ndarray]] = None
+    module_ids: Optional[List[np.ndarray]] = None
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n)
+
+    def find(self, i: int) -> int:
+        p = self.parent
+        root = i
+        while p[root] != root:
+            root = p[root]
+        while p[i] != root:
+            p[i], i = root, p[i]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def connected_components_host(n: int, pairs: np.ndarray) -> np.ndarray:
+    """Union-find CCA over undirected pairs -> min-node-labelled components."""
+    uf = UnionFind(n)
+    for u, v in pairs:
+        uf.union(int(u), int(v))
+    return np.array([uf.find(i) for i in range(n)], dtype=np.int32)
+
+
+def build_graph_state(
+    xyzr: np.ndarray,               # (n, 4) float
+    vivl: np.ndarray,               # (n, 2) int  (volume_id, in_volume_layer_id)
+    truth_particle: np.ndarray,     # (n,) original particle ids (any int dtype)
+    edge_pairs: np.ndarray,         # (m, 2) undirected pairs in file order
+    cfg: PipelineConfig,
+    dtype=jnp.float64,
+    host_extra: Optional[dict] = None,
+) -> tuple[GraphState, HostEvent]:
+    n = xyzr.shape[0]
+
+    # -- dedupe unordered pairs, keep first occurrence (helper.py:510-518:
+    #    re-adding an existing NetworkX edge is a no-op) --
+    a = np.minimum(edge_pairs[:, 0], edge_pairs[:, 1])
+    b = np.maximum(edge_pairs[:, 0], edge_pairs[:, 1])
+    key = a.astype(np.int64) * n + b
+    _, first_idx = np.unique(key, return_index=True)
+    keep = np.sort(first_idx)
+    pairs = edge_pairs[keep]
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]  # defensive: drop self-loops
+
+    m = pairs.shape[0]
+    e = 2 * m
+    # directed edges in insertion order: 2i = (u->v), 2i+1 = (v->u)
+    src = np.empty(e, np.int32)
+    dst = np.empty(e, np.int32)
+    src[0::2], dst[0::2] = pairs[:, 0], pairs[:, 1]
+    src[1::2], dst[1::2] = pairs[:, 1], pairs[:, 0]
+    reverse = np.arange(e, dtype=np.int32) ^ 1
+
+    # -- components (event_conversion.py:84) --
+    component = connected_components_host(n, pairs)
+
+    # -- dense layer index over in_volume_layer_id (helper.py:53) --
+    layers = np.unique(vivl[:, 1])
+    layer_map = {int(l): i for i, l in enumerate(layers)}
+    layer_idx = np.array([layer_map[int(l)] for l in vivl[:, 1]], np.int32)
+
+    # -- dense truth particle index (original ids exceed int32) --
+    uniq_pids, truth_idx = np.unique(truth_particle, return_inverse=True)
+    truth_idx = truth_idx.astype(np.int32)
+
+    # -- fixed-K edge tables in insertion order --
+    in_deg = np.bincount(dst, minlength=n)
+    out_deg = np.bincount(src, minlength=n)
+    max_deg = int(max(in_deg.max() if n else 0, out_deg.max() if n else 0))
+    k = cfg.max_node_degree
+    while k < max_deg:
+        k *= 2
+    in_tab = np.full((n, k), -1, np.int32)
+    out_tab = np.full((n, k), -1, np.int32)
+    in_fill = np.zeros(n, np.int32)
+    out_fill = np.zeros(n, np.int32)
+    for ei in range(e):
+        d_ = dst[ei]
+        in_tab[d_, in_fill[d_]] = ei
+        in_fill[d_] += 1
+        s_ = src[ei]
+        out_tab[s_, out_fill[s_]] = ei
+        out_fill[s_] += 1
+
+    # -- pad to buckets --
+    n_pad = _round_up(max(n, 1), cfg.node_bucket)
+    e_pad = _round_up(max(e, 1), cfg.edge_bucket)
+
+    def padn(x, fill=0):
+        out = np.full((n_pad,) + x.shape[1:], fill, x.dtype)
+        out[:n] = x
+        return out
+
+    def pade(x, fill=0):
+        out = np.full((e_pad,) + x.shape[1:], fill, x.dtype)
+        out[:e] = x
+        return out
+
+    node_mask = np.zeros(n_pad, bool)
+    node_mask[:n] = True
+    edge_mask = np.zeros(e_pad, bool)
+    edge_mask[:e] = True
+
+    f = lambda *s: jnp.zeros(s, dtype)
+
+    g = GraphState(
+        n_nodes=n, n_edges=e, max_degree=k, n_layers=len(layers),
+        node_mask=jnp.asarray(node_mask),
+        xyzr=jnp.asarray(padn(xyzr.astype(np.float64)), dtype),
+        vivl=jnp.asarray(padn(vivl.astype(np.int32))),
+        layer_idx=jnp.asarray(padn(layer_idx)),
+        truth=jnp.asarray(padn(truth_idx, fill=-1)),
+        component=jnp.asarray(padn(component)),
+        degree=jnp.zeros(n_pad, jnp.int32),
+        has_merged=jnp.zeros(n_pad, bool),
+        merged_state=f(n_pad, 3), merged_cov=f(n_pad, 3, 3),
+        merged_prior=f(n_pad), grad_stats=f(n_pad, 4),
+        edge_mask=jnp.asarray(edge_mask),
+        src=jnp.asarray(pade(src)), dst=jnp.asarray(pade(dst)),
+        reverse=jnp.asarray(pade(reverse)),
+        active=jnp.asarray(edge_mask),
+        seed_sv=f(e_pad, 3), seed_cov=f(e_pad, 3, 3),
+        seed_joint=f(e_pad, 3), seed_joint_cov=f(e_pad, 3, 3),
+        seed_prior=f(e_pad), seed_weight=f(e_pad),
+        has_updated=jnp.zeros(e_pad, bool),
+        upd_sv=f(e_pad, 3), upd_cov=f(e_pad, 3, 3),
+        upd_joint=f(e_pad, 3), upd_joint_cov=f(e_pad, 3, 3),
+        upd_prior=f(e_pad), upd_weight=f(e_pad), upd_likelihood=f(e_pad),
+        in_edges=jnp.asarray(padn(in_tab, fill=-1)),
+        out_edges=jnp.asarray(padn(out_tab, fill=-1)),
+    )
+    host = HostEvent(
+        node_ids=(host_extra or {}).get("node_ids", np.arange(n)),
+        particle_ids=uniq_pids,
+        hit_ids=(host_extra or {}).get("hit_ids"),
+        hit_particle_ids=(host_extra or {}).get("hit_particle_ids"),
+        module_ids=(host_extra or {}).get("module_ids"),
+    )
+    return g, host

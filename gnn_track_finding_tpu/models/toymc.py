@@ -1,0 +1,125 @@
+"""Seeded toy-MC event generator.
+
+The reference validates its math on small simulated events: straight/
+parabolic tracks over fixed layers with Gaussian smearing and a
+HitPairPredictor edge gate (src/toyMC_model/track_simulation_xy.py:36-188,
+learn_KL_linear_model/generate_training_data/generate_events.py:36-153).
+This generator produces the same kind of controlled, fully truth-labelled
+events directly as arrays, in a cylindrical geometry so both barrel
+(|z| < endcap_boundary) and endcap hits exercise the sigma-swap branches.
+
+Tracks originate near the beamline with azimuth phi0, curvature kappa and
+dip slope tau; a hit on layer radius R sits at
+  phi = phi0 + kappa * R,   (x, y) = R (cos phi, sin phi),   z = tau * R,
+Gaussian-smeared per coordinate.  Edges connect hits on adjacent layers
+within an azimuth window (the HitPairPredictor analog,
+src/toyMC_model/HitPairPredictor.py:10-16), which yields both true edges
+and cross-track confusion edges for the pruning stages to remove.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+DEFAULT_LAYER_RADII = (60.0, 110.0, 170.0, 240.0, 320.0, 410.0, 510.0)
+
+
+@dataclasses.dataclass
+class ToyEvent:
+    xyzr: np.ndarray          # (n, 4)
+    vivl: np.ndarray          # (n, 2) int (volume, layer)
+    truth: np.ndarray         # (n,) int track id
+    edge_pairs: np.ndarray    # (m, 2) undirected, file order
+    layer_radii: Tuple[float, ...]
+
+
+def generate_event(
+    num_tracks: int = 12,
+    seed: int = 0,
+    layer_radii: Tuple[float, ...] = DEFAULT_LAYER_RADII,
+    sigma_xy: float = 0.3,
+    sigma_z: float = 0.5,
+    max_tau: float = 2.5,
+    max_kappa: float = 6e-4,
+    edge_dphi_window: float = 0.08,
+    edge_dtau_window: float = 0.5,
+    drop_hit_prob: float = 0.0,
+) -> ToyEvent:
+    rng = np.random.default_rng(seed)
+    nl = len(layer_radii)
+
+    xs, ys, zs, layers, tids = [], [], [], [], []
+    for t in range(num_tracks):
+        phi0 = rng.uniform(0.0, 2.0 * np.pi)
+        kappa = rng.uniform(-max_kappa, max_kappa)
+        tau = rng.uniform(-max_tau, max_tau)
+        for li, r in enumerate(layer_radii):
+            if drop_hit_prob and rng.uniform() < drop_hit_prob:
+                continue
+            phi = phi0 + kappa * r
+            xs.append(r * np.cos(phi) + rng.normal(0.0, sigma_xy))
+            ys.append(r * np.sin(phi) + rng.normal(0.0, sigma_xy))
+            zs.append(tau * r + rng.normal(0.0, sigma_z))
+            layers.append(li)
+            tids.append(t)
+
+    x = np.asarray(xs)
+    y = np.asarray(ys)
+    z = np.asarray(zs)
+    layer = np.asarray(layers, np.int32)
+    truth = np.asarray(tids, np.int64)
+    r = np.sqrt(x * x + y * y)
+    phi = np.arctan2(y, x)
+    tau_hit = z / np.maximum(r, 1e-9)
+
+    n = x.shape[0]
+    # shuffle node order so node index carries no structure
+    perm = rng.permutation(n)
+    x, y, z, r, phi, tau_hit = (a[perm] for a in (x, y, z, r, phi, tau_hit))
+    layer, truth = layer[perm], truth[perm]
+
+    # adjacent-layer edge gate on (delta phi, delta tau)
+    pairs = []
+    for li in range(nl - 1):
+        i_idx = np.flatnonzero(layer == li)
+        j_idx = np.flatnonzero(layer == li + 1)
+        for i in i_idx:
+            dphi = np.angle(np.exp(1j * (phi[j_idx] - phi[i])))
+            dtau = tau_hit[j_idx] - tau_hit[i]
+            ok = (np.abs(dphi) < edge_dphi_window) & (np.abs(dtau) < edge_dtau_window)
+            for j in j_idx[ok]:
+                pairs.append((i, j))
+    edge_pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
+
+    xyzr = np.stack([x, y, z, r], axis=1)
+    vivl = np.stack([np.full(n, 7, np.int32), 2 * (layer + 1)], axis=1)
+    return ToyEvent(xyzr=xyzr, vivl=vivl, truth=truth,
+                    edge_pairs=edge_pairs, layer_radii=layer_radii)
+
+
+def to_networkx(ev: ToyEvent):
+    """NetworkX DiGraph with the reference's node-attribute schema, for
+    oracle comparisons (helper.py:498-518)."""
+    import networkx as nx
+
+    g = nx.DiGraph()
+    for i in range(ev.xyzr.shape[0]):
+        x, y, z, r = (float(v) for v in ev.xyzr[i])
+        g.add_node(
+            i,
+            xy=(x, y), zr=(z, r), xyzr=(x, y, z, r),
+            volume_id=int(ev.vivl[i, 0]),
+            in_volume_layer_id=int(ev.vivl[i, 1]),
+            vivl_id=(int(ev.vivl[i, 0]), int(ev.vivl[i, 1])),
+            truth_particle=int(ev.truth[i]),
+            module_id=np.array([int(ev.truth[i])]),
+            hit_dissociation={"hit_id": np.array([i]),
+                              "particle_id": [int(ev.truth[i])]},
+        )
+    for u, v in ev.edge_pairs:
+        g.add_edge(int(u), int(v))
+        g.add_edge(int(v), int(u))
+    return g

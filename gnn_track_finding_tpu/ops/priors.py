@@ -1,0 +1,127 @@
+"""Mixture weights, layer priors, degrees and Gaussian-mixture reweighting.
+
+Vectorised re-designs of the reference's graph-walking helpers:
+
+  * compute_mixture_weights  (helper.py:76-96)   -> segment count + gather
+  * compute_prior_probabilities (helper.py:30-63) -> segment count over a
+    (node, src-layer) composite key
+  * query_node_degree_in_edges (helper.py:67-73) -> segment sum of active
+  * reweight + calculate_side_norm_factor (helper.py:99-225) -> edge-wise
+    renormalisation with a per-node distinct-coordinate count done on the
+    fixed-K in-edge table.
+
+Dict-membership semantics: an edge e carries a SEED state whenever it
+exists (edge_mask), and an UPDATED state when has_updated[e] — matching the
+reference's 'track_state_estimates' / 'updated_track_states' dicts.  Stale
+entries of deactivated edges keep their previous prior/weight values, as in
+the reference (only active edges are reassigned).
+
+Deviation from the reference (documented): helper.py:129-139 decides each
+side's lr_layer_norm with a stale loop variable ``neighbour_num`` (the last
+neighbour iterated), and helper.py:199-200 uses ``=`` where ``+=`` was
+meant in the confusion-matrix counters.  We implement the intended
+semantics: an active edge gets its side's distinct-coordinate norm; the
+counters accumulate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.state import GraphState
+
+
+def _state_membership(g: GraphState, use_updated: bool) -> jax.Array:
+    return g.has_updated if use_updated else g.edge_mask
+
+
+def compute_mixture_weights(g: GraphState, use_updated: bool) -> GraphState:
+    """weight = 1 / len(state dict at the head node) (helper.py:88-94)."""
+    member = _state_membership(g, use_updated)
+    n = g.num_padded_nodes
+    count = jax.ops.segment_sum(member.astype(g.dtype), g.dst, n)
+    w = 1.0 / jnp.maximum(count, 1.0)
+    new_w = jnp.where(member, w[g.dst], 0.0)
+    if use_updated:
+        return g.replace(upd_weight=new_w)
+    return g.replace(seed_weight=new_w)
+
+
+def compute_prior_probabilities(g: GraphState, use_updated: bool) -> GraphState:
+    """prior = 1 / (#active same-src-layer edges into the head node)
+    (helper.py:43-63); inactive entries keep their previous prior."""
+    member = _state_membership(g, use_updated)
+    eligible = member & g.active & g.edge_mask
+    key = g.dst * g.n_layers + g.layer_idx[g.src]
+    num_seg = g.num_padded_nodes * g.n_layers
+    count = jax.ops.segment_sum(eligible.astype(g.dtype), key, num_seg)
+    prior = 1.0 / jnp.maximum(count[key], 1.0)
+    old = g.upd_prior if use_updated else g.seed_prior
+    new = jnp.where(eligible, prior, old)
+    if use_updated:
+        return g.replace(upd_prior=new)
+    return g.replace(seed_prior=new)
+
+
+def update_degrees(g: GraphState) -> GraphState:
+    """Active in-degree per node (helper.py:67-73)."""
+    act = (g.edge_mask & g.active).astype(jnp.int32)
+    deg = jax.ops.segment_sum(act, g.dst, g.num_padded_nodes)
+    return g.replace(degree=deg)
+
+
+def _side_norms(g: GraphState) -> jax.Array:
+    """Per-edge distinct-x count of same-side active updated in-edges.
+
+    Reference: calculate_side_norm_factor (helper.py:99-139).  The side of
+    edge e=(src->dst) is 'left' when x_src < x_dst; the norm is the number
+    of DISTINCT x coordinates among the head's active updated in-senders on
+    that side.  Computed on the (N, K) in-edge table with a K x K
+    first-occurrence mask.
+    """
+    tab = g.in_edges                      # (N, K)
+    valid = tab >= 0
+    e = jnp.maximum(tab, 0)
+    ok = valid & g.has_updated[e] & g.active[e] & g.edge_mask[e]
+    xs = g.xyzr[g.src[e], 0]
+    x_node = g.xyzr[:, 0][:, None]
+    left = xs < x_node                    # (N, K)
+
+    same_x = xs[:, :, None] == xs[:, None, :]          # (N, K, K)
+    same_side = left[:, :, None] == left[:, None, :]
+    ok_pair = ok[:, :, None] & ok[:, None, :]
+    k = tab.shape[1]
+    earlier = (jnp.arange(k)[:, None] > jnp.arange(k)[None, :])  # j < i
+    dup_before = jnp.any(same_x & same_side & ok_pair & earlier[None], axis=2)
+    is_first = ok & ~dup_before
+    # distinct count on each side
+    n_left = jnp.sum(is_first & left, axis=1)
+    n_right = jnp.sum(is_first & ~left, axis=1)
+    # scatter back to edges: norm for edge e
+    per_slot = jnp.where(left, n_left[:, None], n_right[:, None])
+    norms = jnp.zeros((g.num_padded_edges,), g.dtype)
+    norms = norms.at[e.reshape(-1)].set(
+        jnp.where(ok, per_slot, 0).astype(g.dtype).reshape(-1))
+    return jnp.maximum(norms, 1.0)
+
+
+def reweight(g: GraphState, cfg: PipelineConfig) -> GraphState:
+    """Gaussian-mixture reweighting with threshold deactivation
+    (helper.py:143-201): w' = w * L * prior / sum(w * L) / side_norm, then
+    deactivate edges with w' < reweight_threshold."""
+    member = g.has_updated & g.active & g.edge_mask
+    n = g.num_padded_nodes
+    wl = jnp.where(member, g.upd_weight * g.upd_likelihood, 0.0)
+    denom = jax.ops.segment_sum(wl, g.dst, n)
+    norms = _side_norms(g)
+    w_new = wl * g.upd_prior / jnp.maximum(denom[g.dst], 1e-300) / norms
+    new_weight = jnp.where(member, w_new, g.upd_weight)
+    drop = member & (w_new < cfg.reweight_threshold)
+    return g.replace(upd_weight=new_weight, active=g.active & ~drop)
+
+
+def initialize_edge_activation(g: GraphState) -> GraphState:
+    """All existing edges start activated (helper.py:24-25)."""
+    return g.replace(active=g.edge_mask)

@@ -1,0 +1,19 @@
+"""Test configuration: CPU-only JAX with 8 virtual devices and float64.
+
+Multi-chip sharding tests run on a simulated 8-device CPU mesh (the
+TPU-native substitute for a fake distributed backend, SURVEY.md section 4);
+float64 matches the reference's NumPy numerics for parity tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
