@@ -1,0 +1,140 @@
+"""The full iterative track-finding pipeline — the flagship "model".
+
+The reference orchestrates its stages as separate CLI processes passing
+pickled graphs through the filesystem on a fixed schedule
+(run_gnn_trackml_mod.sh:71-148):
+
+  iteration 1        : clustering on seed states (chi2=1.0, KL=2.0)
+  even iterations    : extrapolation message passing (chi2 cut c)
+  odd iterations > 1 : clustering on updated states (chi2=1000, KL=100)
+  after every iter   : candidate extraction (accumulating candidates)
+  after even iters   : state-metadata pruning
+
+Here each iteration is ONE jitted transform of the device-resident
+GraphState; the host driver only sequences them and collects extraction
+results.  `full_pipeline` additionally fuses the whole schedule into a
+single jittable program (used by benchmarks and the multi-chip dry run).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import numpy as np
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.state import GraphState
+from gnn_track_finding_tpu.ops import (clustering, extract, extrapolate,
+                                       metadata, priors, seeding)
+
+
+def prepare(g: GraphState, cfg: PipelineConfig) -> GraphState:
+    """Event-conversion tail: seed states, activation, priors, weights,
+    degrees (event_conversion.py:92-101)."""
+    g = seeding.seed_track_states(g, cfg)
+    g = priors.initialize_edge_activation(g)
+    g = priors.compute_prior_probabilities(g, use_updated=False)
+    g = priors.compute_mixture_weights(g, use_updated=False)
+    g = priors.update_degrees(g)
+    return g
+
+
+def cluster_stage(g: GraphState, cfg: PipelineConfig,
+                  use_updated: bool) -> GraphState:
+    """Clustering iteration incl. the weight/prior recompute + degree update
+    (clustering.py:323-327,372-373)."""
+    g = clustering.cluster(g, cfg, use_updated)
+    g = priors.update_degrees(g)
+    g = priors.compute_mixture_weights(g, use_updated)
+    g = priors.compute_prior_probabilities(g, use_updated)
+    return g
+
+
+def extrapolation_stage(g: GraphState, cfg: PipelineConfig) -> GraphState:
+    """Extrapolation iteration incl. double prior/reweight + degrees
+    (extrapolate_merged_states.py:554-566)."""
+    g = extrapolate.message_passing(g, cfg)
+    g = priors.compute_prior_probabilities(g, use_updated=True)
+    g = priors.reweight(g, cfg)
+    g = priors.compute_prior_probabilities(g, use_updated=True)
+    g = priors.reweight(g, cfg)
+    g = priors.update_degrees(g)
+    return g
+
+
+def iteration(g: GraphState, cfg: PipelineConfig, i: int
+              ) -> Tuple[GraphState, extract.ExtractionResult]:
+    """One full iteration: stage + extraction + metadata pruning."""
+    if i == 1:
+        g = cluster_stage(g, cfg, use_updated=False)
+    elif i % 2 == 0:
+        g = extrapolation_stage(g, cfg)
+    else:
+        g = cluster_stage(g, cfg, use_updated=True)
+    res = extract.extract_candidates(g, cfg)
+    g = extract.apply_extraction(g, res, cfg)
+    if i % 2 == 0:
+        g = metadata.remove_state_metadata(g, cfg)
+    return g, res
+
+
+@dataclasses.dataclass
+class Candidate:
+    nodes: np.ndarray      # original-graph node indices
+    iteration: int
+    pval_xy: float
+    pval_zr: float
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    graph: GraphState
+    candidates: List[Candidate]
+    per_iteration: List[extract.ExtractionResult]
+
+
+_iteration_jit = jax.jit(iteration, static_argnums=(1, 2))
+_prepare_jit = jax.jit(prepare, static_argnums=1)
+
+
+def run_pipeline(g: GraphState, cfg: PipelineConfig) -> PipelineResult:
+    """Host driver: sequence jitted iterations, collect candidates."""
+    g = _prepare_jit(g, cfg)
+    candidates: List[Candidate] = []
+    per_iter = []
+    for i in range(1, cfg.num_iterations + 1):
+        g, res = _iteration_jit(g, cfg, i)
+        per_iter.append(res)
+        acc = np.asarray(res.accepted)
+        mat = np.asarray(res.cand_nodes)
+        pxy = np.asarray(res.pval_xy)
+        pzr = np.asarray(res.pval_zr)
+        for c in np.flatnonzero(acc):
+            nodes = mat[c]
+            candidates.append(Candidate(nodes=nodes[nodes >= 0],
+                                        iteration=i,
+                                        pval_xy=float(pxy[c]),
+                                        pval_zr=float(pzr[c])))
+    return PipelineResult(graph=g, candidates=candidates,
+                          per_iteration=per_iter)
+
+
+@partial(jax.jit, static_argnums=1)
+def full_pipeline(g: GraphState, cfg: PipelineConfig):
+    """The whole schedule as one jitted program.
+
+    Returns the final graph plus per-iteration (accepted, cand_nodes)
+    stacked device arrays — the benchmarking / dry-run entry point.
+    """
+    g = prepare(g, cfg)
+    accepted = []
+    cand_nodes = []
+    for i in range(1, cfg.num_iterations + 1):
+        g, res = iteration(g, cfg, i)
+        accepted.append(res.accepted)
+        cand_nodes.append(res.cand_nodes)
+    import jax.numpy as jnp
+    return g, jnp.stack(accepted), jnp.stack(cand_nodes)

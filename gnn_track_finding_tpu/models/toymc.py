@@ -43,7 +43,7 @@ def generate_event(
     sigma_xy: float = 0.3,
     sigma_z: float = 0.5,
     max_tau: float = 2.5,
-    max_kappa: float = 6e-4,
+    max_kappa: float = 1.5e-4,
     edge_dphi_window: float = 0.08,
     edge_dtau_window: float = 0.5,
     drop_hit_prob: float = 0.0,

@@ -1,0 +1,200 @@
+"""Gaussian-mixture reduction (clustering) as a node-parallel kernel.
+
+Re-design of the reference's per-node Python clustering loop
+(clustering.py:149-316): for every node whose state dict holds 3..15
+entries (gate at clustering.py:207), compute the pairwise Mahalanobis chi2
+matrix over joint [a, b, tau] states (clustering.py:11-86), merge the best
+pair when it beats the chi2 threshold (clustering.py:228-234), then greedily
+absorb remaining states while the KL distance to the running merged state
+beats the KL threshold (clustering.py:261-287), finally deactivating the
+in-edges of unabsorbed states (clustering.py:296-316, applied simultaneously).
+
+TPU mapping: states are gathered through a compacted (N, 16) in-edge table
+(16 = the reference's own upper degree gate), the pairwise matrix is a
+masked (N, 16, 16) batch, and the data-dependent while-loop becomes a
+fixed-trip lax.scan of 14 masked steps — each node advances in lockstep
+with a 'stopped' flag.
+
+bug_compat notes:
+  * the pairwise endcap sigma-swap tests the X coordinate, not z
+    (clustering.py:49-57 reads coords[0]) — reproduced under bug_compat;
+  * the minimum is taken over NONZERO lower-triangle entries
+    (clustering.py:119-120), reproduced exactly;
+  * the KL distance uses the elementwise-product trace (clustering.py:93).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.state import GraphState
+from gnn_track_finding_tpu.ops import linalg
+
+KC = 16  # compact table width == reference's upper degree gate
+
+
+def _compact_member_edges(g: GraphState, member: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """First KC member in-edges per node, in insertion order.
+
+    Returns (edge_idx (N, KC) int32 with -1 padding, member_count (N,)).
+    """
+    tab = g.in_edges                      # (N, K)
+    valid = (tab >= 0) & member[jnp.maximum(tab, 0)]
+    order = jnp.argsort(~valid, axis=1, stable=True)
+    sorted_tab = jnp.take_along_axis(tab, order, axis=1)
+    sorted_valid = jnp.take_along_axis(valid, order, axis=1)
+    compact = jnp.where(sorted_valid, sorted_tab, -1)[:, :KC]
+    count = jnp.sum(valid, axis=1)
+    return compact, count
+
+
+def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, tab: jax.Array,
+                   valid: jax.Array, joint: jax.Array, jcov: jax.Array) -> jax.Array:
+    """Masked (N, KC, KC) lower-triangle chi2 matrix (clustering.py:11-86)."""
+    dtype = g.dtype
+    e = jnp.maximum(tab, 0)
+    nb_xyzr = g.xyzr[g.src[e]]            # (N, KC, 4)
+    node_xyzr = g.xyzr                    # (N, 4)
+
+    # [a, b] block distance
+    d_ab = joint[:, :, None, :2] - joint[:, None, :, :2]          # (N,K,K,2)
+    c_ab = jcov[:, :, None, :2, :2] + jcov[:, None, :, :2, :2]    # (N,K,K,2,2)
+    inv = linalg.inv2(c_ab)
+    d1 = jnp.einsum("nijA,nijAB,nijB->nij", d_ab, inv, d_ab)
+
+    # delta-tau term from raw coordinates
+    x_a = node_xyzr[:, 0][:, None]
+    z_a = node_xyzr[:, 2][:, None]
+    r_a = node_xyzr[:, 3][:, None]
+    x_n = nb_xyzr[..., 0]
+    z_n = nb_xyzr[..., 2]
+    r_n = nb_xyzr[..., 3]
+
+    def sigmas(coord):
+        endcap = jnp.abs(coord) >= cfg.endcap_boundary
+        sz = jnp.where(endcap, cfg.sigma0rz, cfg.sigma0rz2).astype(dtype)
+        sr = jnp.where(endcap, cfg.sigma0rz2, cfg.sigma0rz).astype(dtype)
+        return sz, sr
+
+    # endcap test coordinate: X under bug_compat (clustering.py:49-57), else z
+    sza, sra = sigmas(x_a if cfg.bug_compat else z_a)
+    szn, srn = sigmas(x_n if cfg.bug_compat else z_n)
+
+    inv_b = 1.0 / (r_n - r_a)             # (N, K)
+    tau = (z_n - z_a) * inv_b
+    j2 = inv_b[:, :, None]                # for state i ("b")
+    j3 = -inv_b[:, None, :]               # for state j ("c")
+    j1 = -j3 - j2
+    j5 = (-(z_n - z_a) * inv_b * inv_b)[:, :, None]
+    j6 = ((z_n - z_a) * inv_b * inv_b)[:, None, :]
+    j4 = -j5 - j6
+    var_dt = (j1 * j1 * (sza * sza)[:, :, None]
+              + j2 * j2 * (szn * szn)[:, :, None]
+              + j3 * j3 * (szn * szn)[:, None, :]
+              + j4 * j4 * (sra * sra)[:, :, None]
+              + j5 * j5 * (srn * srn)[:, :, None]
+              + j6 * j6 * (srn * srn)[:, None, :])
+    d2 = (tau[:, :, None] - tau[:, None, :]) ** 2 / var_dt
+
+    chi2 = d1 + d2
+    k = KC
+    tri = (jnp.arange(k)[:, None] > jnp.arange(k)[None, :])        # i > j
+    ok = tri[None] & valid[:, :, None] & valid[:, None, :]
+    return jnp.where(ok, chi2, jnp.inf)
+
+
+def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool) -> GraphState:
+    """One GMR clustering round over the whole graph."""
+    dtype = g.dtype
+    member = (g.has_updated if use_updated else g.edge_mask) & g.edge_mask
+    tab, count = _compact_member_edges(g, member)
+    valid = tab >= 0
+    e = jnp.maximum(tab, 0)
+
+    if use_updated:
+        p_sv, p_cov = g.upd_sv[e], g.upd_cov[e]
+        j_sv, j_cov = g.upd_joint[e], g.upd_joint_cov[e]
+        prior = g.upd_prior[e]
+    else:
+        p_sv, p_cov = g.seed_sv[e], g.seed_cov[e]
+        j_sv, j_cov = g.seed_joint[e], g.seed_joint_cov[e]
+        prior = g.seed_prior[e]
+
+    eye = jnp.eye(3, dtype=dtype)
+    safe = lambda c: jnp.where(valid[:, :, None, None], c, eye)
+    p_cov = safe(p_cov)
+    j_cov = safe(j_cov)
+
+    gate = (count > cfg.cluster_min_edges - 1) & (count < cfg.cluster_max_edges + 1)
+
+    chi2_thr, kl_thr = cfg.cluster_thresholds(use_updated)
+    chi2 = _pairwise_chi2(g, cfg, tab, valid, j_sv, j_cov)
+    # min over nonzero entries (clustering.py:119-120)
+    chi2 = jnp.where(chi2 == 0.0, jnp.inf, chi2)
+    flat = chi2.reshape(chi2.shape[0], -1)
+    best = jnp.argmin(flat, axis=1)
+    best_val = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    i0 = best // KC
+    i1 = best % KC
+    found = gate & (best_val < chi2_thr) & jnp.isfinite(best_val)
+
+    take = lambda arr, idx: jnp.take_along_axis(
+        arr, idx[:, None].reshape((-1,) + (1,) * (arr.ndim - 1)), axis=1)[:, 0]
+    pm, pc = linalg.merge_gaussians(take(p_sv, i0), take(p_cov, i0),
+                                    take(p_sv, i1), take(p_cov, i1))
+    jm, jc = linalg.merge_gaussians(take(j_sv, i0), take(j_cov, i0),
+                                    take(j_sv, i1), take(j_cov, i1))
+    mprior = take(prior, i0) + take(prior, i1)
+
+    ar = jnp.arange(KC)[None, :]
+    absorbed = (ar == i0[:, None]) | (ar == i1[:, None])
+    remaining = valid & ~absorbed
+
+    def step(carry, _):
+        pm, pc, jm, jc, mprior, remaining, stopped = carry
+        kl = linalg.kl_distance(j_sv, j_cov, jm[:, None], jc[:, None],
+                                bug_compat=cfg.bug_compat)
+        kl = jnp.where(remaining, kl, jnp.inf)
+        k_best = jnp.argmin(kl, axis=1)
+        k_val = jnp.take_along_axis(kl, k_best[:, None], axis=1)[:, 0]
+        do = (~stopped) & (k_val < kl_thr) & jnp.isfinite(k_val)
+
+        npm, npc = linalg.merge_gaussians(take(p_sv, k_best), take(p_cov, k_best), pm, pc)
+        njm, njc = linalg.merge_gaussians(take(j_sv, k_best), take(j_cov, k_best), jm, jc)
+        nprior = take(prior, k_best) + mprior
+
+        d = do[:, None]
+        pm = jnp.where(d, npm, pm)
+        pc = jnp.where(do[:, None, None], npc, pc)
+        jm = jnp.where(do[:, None], njm, jm)
+        jc = jnp.where(do[:, None, None], njc, jc)
+        mprior = jnp.where(do, nprior, mprior)
+        remaining = remaining & ~(d & (ar == k_best[:, None]))
+        stopped = stopped | ~do
+        return (pm, pc, jm, jc, mprior, remaining, stopped), None
+
+    init = (pm, pc, jm, jc, mprior, remaining, ~found)
+    (pm, pc, jm, jc, mprior, remaining, _), _ = jax.lax.scan(
+        step, init, None, length=KC - 2)
+
+    # write merged state on nodes where clustering succeeded
+    has_merged = g.has_merged | found
+    merged_state = jnp.where(found[:, None], pm, g.merged_state)
+    merged_cov = jnp.where(found[:, None, None], pc, g.merged_cov)
+    merged_prior = jnp.where(found, mprior, g.merged_prior)
+
+    # simultaneous deactivation of unabsorbed in-edges
+    deact_slot = remaining & found[:, None]
+    deact = jnp.zeros((g.num_padded_edges,), bool)
+    deact = deact.at[e.reshape(-1)].max(deact_slot.reshape(-1))
+    deact = deact & g.edge_mask
+
+    return g.replace(
+        has_merged=has_merged, merged_state=merged_state,
+        merged_cov=merged_cov, merged_prior=merged_prior,
+        active=g.active & ~deact,
+    )

@@ -1,0 +1,320 @@
+"""Track-candidate extraction as batched device kernels.
+
+Re-design of extract_track_candidates.py:42-517.  The reference walks each
+pickled subgraph, splits on deactivated edges with NetworkX CCA
+(:332-346), then per candidate: fragment gate (:415), close-proximity
+same-layer node merging (:58-151), one-hit-per-layer check (:427-429),
+radius sort + innermost-edge rotation (:172-193,433-438), and a sequential
+two-plane Kalman track fit with Ornstein-Uhlenbeck process noise and
+Moliere multiple scattering whose summed chi2 becomes a p-value gate
+(:209-328,442-447).
+
+TPU mapping: CCA is min-label propagation (graph/cca.py); every component
+becomes a row of a (N, H) candidate matrix built by a lexsort on
+(component, -r) — hits arrive already radius-sorted; the proximity merge is
+a masked H x H duplicate analysis; both Kalman fits run as ONE lax.scan of
+H-1 steps over all candidates simultaneously; p-values use the regularised
+incomplete gamma function (chi2 survival function).
+
+bug_compat reproduces the rotation typo at :190-191 (r_new mixes r with r,
+z_new mixes z with z instead of rotating (z, r) jointly) and filterpy's
+scalar-Q broadcast in the zr fit (:302: Q added to every covariance entry).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaincc
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.state import GraphState
+from gnn_track_finding_tpu.graph import cca
+
+
+class ExtractionResult(NamedTuple):
+    labels: jax.Array        # (N,) component label per node (this round's CCA)
+    cand_nodes: jax.Array    # (N, H) node indices per candidate row, -1 pad
+    cand_size: jax.Array     # (N,) nodes in the candidate (pre-merge)
+    processed: jax.Array     # (N,) candidate reached the KF fit
+    accepted: jax.Array      # (N,) passed both p-value gates
+    merged_pair: jax.Array   # (N,) number of proximity-merged node pairs
+    pval_xy: jax.Array       # (N,)
+    pval_zr: jax.Array       # (N,)
+
+
+def _candidate_matrix(g: GraphState, labels: jax.Array, h: int):
+    """Rows of node indices per component, radius-descending (ref :433-436)."""
+    n = g.num_padded_nodes
+    alive = g.node_mask
+    big = jnp.int32(n)
+    lab = jnp.where(alive, labels, big)
+    order = jnp.lexsort((-g.xyzr[:, 3], lab))
+    sorted_lab = lab[order]
+    pos_all = jnp.arange(n, dtype=jnp.int32)
+    first = jax.ops.segment_min(pos_all, sorted_lab, num_segments=n + 1)
+    pos = pos_all - first[sorted_lab]
+
+    mat = jnp.full((n, h), -1, jnp.int32)
+    ok = (sorted_lab < big) & (pos < h)
+    rows = jnp.where(ok, sorted_lab, n - 1)
+    cols = jnp.where(ok, pos, 0)
+    mat = mat.at[rows, cols].max(jnp.where(ok, order.astype(jnp.int32), -1))
+    size = jax.ops.segment_sum(alive.astype(jnp.int32), lab, n + 1)[:n]
+    return mat, size
+
+
+def _proximity_merge(g: GraphState, cfg: PipelineConfig, mat: jax.Array,
+                     size: jax.Array):
+    """Close-proximity same-layer merge analysis (ref :58-151).
+
+    Returns (coords (C,H,4) post-merge, valid (C,H), can_process (C,),
+    n_pairs (C,)).  A candidate 'can process' when after merging (if any)
+    every layer holds exactly one hit: either it had no duplicated layers,
+    or <= 2 layers held exactly 2 hits each within the merge distance and
+    the rest one.
+    """
+    c, h = mat.shape
+    valid = mat >= 0
+    node = jnp.maximum(mat, 0)
+    coords = jnp.where(valid[..., None], g.xyzr[node], 0.0)
+    vivl = g.vivl[node]
+    key = jnp.where(valid, vivl[..., 0] * 1000 + vivl[..., 1], -1 - jnp.arange(h)[None])
+
+    same = (key[:, :, None] == key[:, None, :])          # (C,H,H)
+    freq = jnp.sum(same & valid[:, None, :], axis=2)
+    freq = jnp.where(valid, freq, 0)
+    earlier = jnp.tril(jnp.ones((h, h), bool), k=-1)     # j < i
+    dup_before = jnp.any(same & earlier[None], axis=2)
+    is_first = valid & ~dup_before
+
+    has2 = jnp.any(freq == 2, axis=1)
+    layers_with_2 = jnp.sum(is_first & (freq == 2), axis=1)
+    has_ge3 = jnp.any(freq >= 3, axis=1)
+
+    # partner of each first-occurrence duplicate (the later same-key slot)
+    later = earlier.T
+    partner_of = jnp.argmax(same & later[None], axis=2)  # (C,H)
+    pair_lead = is_first & (freq == 2)
+    partner = jnp.where(pair_lead, partner_of, 0)
+    p_coords = jnp.take_along_axis(coords, partner[..., None], axis=1)
+    d3 = jnp.sqrt(jnp.sum((coords[..., :3] - p_coords[..., :3]) ** 2, axis=2))
+    pairs_ok = jnp.all(jnp.where(pair_lead, d3 <= cfg.node_merge_distance, True),
+                       axis=1)
+
+    mergeable = has2 & (layers_with_2 <= 2) & ~has_ge3 & pairs_ok
+    clean = ~jnp.any(freq >= 2, axis=1)
+    can_process = clean | mergeable
+
+    # apply midpoint merge on mergeable rows (ref :48-55,109-132)
+    mid_xyz = 0.5 * (coords[..., :3] + p_coords[..., :3])
+    mid_r = jnp.sqrt(mid_xyz[..., 0] ** 2 + mid_xyz[..., 1] ** 2)
+    mid = jnp.concatenate([mid_xyz, mid_r[..., None]], axis=-1)
+    do_merge = mergeable[:, None] & pair_lead
+    coords = jnp.where(do_merge[..., None], mid, coords)
+    # invalidate the partner slot
+    kill = jnp.zeros((c, h), bool)
+    kill = kill.at[jnp.arange(c)[:, None], partner].max(do_merge)
+    valid_m = valid & ~kill
+    n_pairs = jnp.where(mergeable, layers_with_2, 0)
+    return coords, valid_m, can_process, n_pairs
+
+
+def _rotate_tracks(coords, valid, n_hits, cfg: PipelineConfig):
+    """Innermost-edge rotation (ref :172-193); hits are radius-descending so
+    the innermost hits sit at positions n-1, n-2, n-3."""
+    c, h, _ = coords.shape
+    idx_last = jnp.maximum(n_hits - 1, 0)
+    idx_2 = jnp.maximum(n_hits - 2, 0)
+    idx_3 = jnp.maximum(n_hits - 3, 0)
+    take = lambda i: jnp.take_along_axis(coords, i[:, None, None].repeat(4, 2),
+                                         axis=1)[:, 0]
+    p1 = take(idx_last)
+    p2a = take(idx_2)
+    p3 = take(idx_3)
+    d = jnp.sqrt(jnp.sum((p1[:, :3] - p2a[:, :3]) ** 2, axis=1))
+    p2 = jnp.where((d < cfg.separation_3d_threshold)[:, None], p3, p2a)
+
+    angle_xy = jnp.arctan2(p2[:, 1] - p1[:, 1], p2[:, 0] - p1[:, 0])
+    angle_zr = jnp.arctan2(p2[:, 2] - p1[:, 2], p2[:, 3] - p1[:, 3])
+    cxy, sxy = jnp.cos(angle_xy)[:, None], jnp.sin(angle_xy)[:, None]
+    czr, szr = jnp.cos(angle_zr)[:, None], jnp.sin(angle_zr)[:, None]
+    x, y, z, r = (coords[..., i] for i in range(4))
+    xn = x * cxy + y * sxy
+    yn = -x * sxy + y * cxy
+    if cfg.bug_compat:
+        rn = r * czr + r * szr       # ref :190 typo kept
+        zn = -z * szr + z * czr      # ref :191 typo kept
+    else:
+        rn = r * czr + z * szr
+        zn = -z * szr + r * czr
+    out = jnp.stack([xn, yn, zn, rn], axis=-1)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
+    """Batched two-plane Kalman track fit (ref :209-328) -> p-values."""
+    c, h, _ = coords.shape
+    dtype = coords.dtype
+    sxy2 = cfg.sigma0xy ** 2
+    srz2 = cfg.sigma0rz ** 2
+
+    y0 = coords[:, 0, 1]
+    r0 = coords[:, 0, 3]
+    x_xy = jnp.stack([y0, jnp.zeros_like(y0), jnp.zeros_like(y0)], axis=1)
+    P_xy = jnp.tile(jnp.diag(jnp.array([sxy2, 1.0, 1.0], dtype)), (c, 1, 1))
+    x_rz = jnp.stack([r0, jnp.zeros_like(r0)], axis=1)
+    P_rz = jnp.tile(jnp.array([[srz2, 0.0], [0.0, 1000.0]], dtype), (c, 1, 1))
+
+    def step(carry, i):
+        x_xy, P_xy, x_rz, P_rz, chi_xy, chi_rz = carry
+        ok = (i + 1 < n_hits)
+        p2 = coords[:, i]
+        p3 = coords[:, i + 1]
+        x2, y2, z2, r2 = (p2[:, k] for k in range(4))
+        x3, y3, z3, r3 = (p3[:, k] for k in range(4))
+
+        # parabola through origin + both hits (ref :197-205,236-239)
+        denom = (0.0 - x2) * (0.0 - x3) * (x2 - x3)
+        denom = jnp.where(denom == 0.0, 1e-300, denom)
+        a = (x3 * y2 - x2 * y3) / denom
+        b = (-(x3 ** 2) * y2 + (x2 ** 2) * y3) / denom
+
+        dr = r3 - r2
+        dz = z3 - z2
+        hyp = jnp.sqrt(dr * dr + dz * dz)
+        sin_t = jnp.abs(dr) / jnp.maximum(hyp, 1e-300)
+        kappa = (2.0 * a) / (1.0 + (2.0 * a * x3 + b) ** 2) ** 1.5
+        var_ms = sin_t * cfg.ms_coefficient() * kappa * kappa
+        endcap = jnp.abs(z3) >= cfg.endcap_boundary
+        var_ms = jnp.where(endcap, var_ms * jnp.abs(dr / jnp.where(dz == 0, 1e-300, dz)),
+                           var_ms)
+
+        # OU transition + process noise (ref :257-282)
+        dx = x3 - x2
+        e1 = jnp.exp(-jnp.abs(dx) * cfg.ou_alpha)
+        f1 = (1.0 - e1) / cfg.ou_alpha
+        g1 = (jnp.abs(dx) - f1) / cfg.ou_alpha
+        sw2 = cfg.ou_sigma ** 2
+        st2 = var_ms
+        dx2 = dx * dx
+        dxw2 = dx2 * sw2
+        q02 = 0.5 * dxw2
+        q01 = dx * (st2 + q02)
+        q12 = dx * sw2
+        one = jnp.ones_like(dx)
+        zero = jnp.zeros_like(dx)
+        F = jnp.stack([
+            jnp.stack([one, dx, g1], axis=-1),
+            jnp.stack([zero, one, f1], axis=-1),
+            jnp.stack([zero, zero, e1], axis=-1)], axis=-2)
+        Q = jnp.stack([
+            jnp.stack([dx2 * (st2 + 0.25 * dxw2), q01, q02], axis=-1),
+            jnp.stack([q01, st2 + dxw2, q12], axis=-1),
+            jnp.stack([q02, q12, sw2 * one], axis=-1)], axis=-2)
+
+        xp = jnp.einsum("cij,cj->ci", F, x_xy)
+        Pp = jnp.einsum("cij,cjk,clk->cil", F, P_xy, F) + Q
+        # Joseph update, H = [1, 0, 0]
+        Sk = Pp[:, 0, 0] + sxy2
+        K = Pp[:, :, 0] / Sk[:, None]
+        res = y3 - xp[:, 0]
+        xn = xp + K * res[:, None]
+        ikh = jnp.eye(3, dtype=dtype) - K[:, :, None] * jnp.array(
+            [1.0, 0.0, 0.0], dtype)[None, None, :]
+        Pn = jnp.einsum("cij,cjk,clk->cil", ikh, Pp, ikh) + sxy2 * K[:, :, None] * K[:, None, :]
+        res_post = y3 - xn[:, 0]
+        S_post = Pn[:, 0, 0] + sxy2
+        c_xy = res_post * res_post / S_post
+
+        # zr plane: tracks r over dz steps, scalar-Q broadcast (ref :299-316)
+        Frz = jnp.stack([
+            jnp.stack([one, dz], axis=-1),
+            jnp.stack([zero, one], axis=-1)], axis=-2)
+        xrp = jnp.einsum("cij,cj->ci", Frz, x_rz)
+        Prp = jnp.einsum("cij,cjk,clk->cil", Frz, P_rz, Frz)
+        if cfg.bug_compat:
+            Prp = Prp + var_ms[:, None, None]     # filterpy scalar broadcast
+        else:
+            Prp = Prp.at[:, 1, 1].add(var_ms)
+        Srz = Prp[:, 0, 0] + srz2
+        Krz = Prp[:, :, 0] / Srz[:, None]
+        res_rz = r3 - xrp[:, 0]
+        xrn = xrp + Krz * res_rz[:, None]
+        ikh2 = jnp.eye(2, dtype=dtype) - Krz[:, :, None] * jnp.array(
+            [1.0, 0.0], dtype)[None, None, :]
+        Prn = jnp.einsum("cij,cjk,clk->cil", ikh2, Prp, ikh2) + srz2 * Krz[:, :, None] * Krz[:, None, :]
+        res_rz_post = r3 - xrn[:, 0]
+        S_rz_post = Prn[:, 0, 0] + srz2
+        c_rz = res_rz_post * res_rz_post / S_rz_post
+
+        sel = ok[:, None]
+        selm = ok[:, None, None]
+        carry = (jnp.where(sel, xn, x_xy), jnp.where(selm, Pn, P_xy),
+                 jnp.where(sel, xrn, x_rz), jnp.where(selm, Prn, P_rz),
+                 chi_xy + jnp.where(ok, c_xy, 0.0),
+                 chi_rz + jnp.where(ok, c_rz, 0.0))
+        return carry, None
+
+    init = (x_xy, P_xy, x_rz, P_rz,
+            jnp.zeros((c,), dtype), jnp.zeros((c,), dtype))
+    (x_xy, P_xy, x_rz, P_rz, chi_xy, chi_rz), _ = jax.lax.scan(
+        step, init, jnp.arange(h - 1))
+
+    dof = jnp.maximum(n_hits - 2, 1).astype(dtype)
+    pval_xy = gammaincc(0.5 * dof, 0.5 * chi_xy)
+    pval_zr = gammaincc(0.5 * dof, 0.5 * chi_rz)
+    return pval_xy, pval_zr
+
+
+def extract_candidates(g: GraphState, cfg: PipelineConfig):
+    """One extraction round.  Returns (new_graph, ExtractionResult).
+
+    Node/edge removal for accepted candidates and fragment classification
+    (per original ingest component, ref :459-467) is applied by the caller
+    via `apply_extraction` so the result can first be inspected host-side.
+    """
+    h = cfg.max_track_hits
+    labels = cca.connected_components(g.src, g.dst,
+                                      g.edge_mask & g.active, g.node_mask)
+    mat, size = _candidate_matrix(g, labels, h)
+    big_enough = (size >= cfg.min_track_hits) & (size <= h)
+
+    coords, valid_m, can_process, n_pairs = _proximity_merge(g, cfg, mat, size)
+    n_hits = jnp.sum(valid_m, axis=1)
+    # one hit per layer post-merge AND enough distinct layers (ref :427-429)
+    processed = big_enough & can_process & (n_hits >= cfg.min_track_hits)
+
+    # compact each row: push invalid slots to the end, radius order kept
+    order = jnp.argsort(~valid_m, axis=1, stable=True)
+    coords_c = jnp.take_along_axis(coords, order[..., None], axis=1)
+    valid_c = jnp.take_along_axis(valid_m, order, axis=1)
+
+    coords_r = _rotate_tracks(coords_c, valid_c, n_hits, cfg)
+    pval_xy, pval_zr = _kf_fit(coords_r, valid_c, n_hits, cfg)
+
+    accepted = (processed & (pval_xy >= cfg.track_acceptance_pval)
+                & (pval_zr >= cfg.track_acceptance_pval))
+    return ExtractionResult(
+        labels=labels, cand_nodes=mat, cand_size=size, processed=processed,
+        accepted=accepted, merged_pair=n_pairs,
+        pval_xy=pval_xy, pval_zr=pval_zr)
+
+
+def apply_extraction(g: GraphState, res: ExtractionResult,
+                     cfg: PipelineConfig) -> GraphState:
+    """Remove accepted candidates' nodes, then drop whole ingest components
+    that fell below the fragment size (ref :459-467)."""
+    n = g.num_padded_nodes
+    node_extracted = res.accepted[res.labels] & g.node_mask
+    mask1 = g.node_mask & ~node_extracted
+    # fragment classification at the granularity of the original component
+    comp = jnp.where(mask1, g.component, n)
+    left = jax.ops.segment_sum(mask1.astype(jnp.int32), comp, n + 1)
+    frag = (left[g.component] < cfg.min_track_hits)
+    new_node_mask = mask1 & ~frag
+    new_edge_mask = (g.edge_mask & new_node_mask[g.src] & new_node_mask[g.dst])
+    return g.replace(node_mask=new_node_mask, edge_mask=new_edge_mask,
+                     active=g.active & new_edge_mask)

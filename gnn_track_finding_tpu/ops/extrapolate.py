@@ -1,0 +1,184 @@
+"""Message passing: Kalman extrapolation of merged states along edges.
+
+Re-design of extrapolate_merged_states.py:26-518 as one edge-parallel
+kernel.  For every directed edge e = (n -> m) whose tail n has a merged
+state and whose 'activated' flag is set at stage start, the merged
+parabolic state is transported into n's local frame evaluated at m via the
+s*-substitution coordinate change (ref :40-79), with the full 3x3 analytic
+Jacobian F (ref :81-110).  A chi2 gate on the transported c-parameter
+against the (zero-by-construction) local measurement (ref :132-140,297-298)
+either deactivates the edge (ref :387-402) or runs a Kalman
+predict/update and stores the updated state ON the edge — the reference
+writes it into the head node's 'updated_track_states' dict keyed by the
+tail (ref :441-447).
+
+Sequential-semantics reproduction (bug_compat):
+  * ref :127-128 adds var_ms to the tail's stored merged_cov IN PLACE, so
+    the k-th processed out-edge of n sees merged_cov plus the cumulative
+    var_ms of out-edges 0..k (in adjacency insertion order, active only).
+    Here that is an inclusive masked cumsum over the (N, K) out-edge table.
+  * ref :306-322 initialises the filter at the ALREADY extrapolated state
+    with transition F, so predict applies F a second time.
+  * ref :362-365 aliases the joint covariance onto the updated covariance
+    (third row/column zeroed on both).
+  * ref :384 takes the updated state's mixture weight from the REVERSE
+    edge's seed state (the tail's estimate keyed by the head).
+In clean mode the cumsum becomes the single per-edge var_ms, predict is a
+pure transport (F applied once), and the covariances are separate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.state import GraphState
+from gnn_track_finding_tpu.ops import linalg
+from gnn_track_finding_tpu.ops.seeding import rz_sigmas
+
+
+def _jacobian_and_transport(a, b, c, x_A, sp, cp):
+    """Frame-changed parabola parameters and Jacobian F (ref :63-110)."""
+    x_p = x_A + c * sp
+    vx = cp + b * sp
+    s_star = (-x_p * (2.0 * vx * vx + (a * sp) * x_p)) / (2.0 * vx ** 3)
+
+    numer = x_A + c * sp
+    den1 = cp + b * sp
+    ds_da = -(sp * numer * numer) / den1 ** 3
+    ds_db = (sp * numer * (1.0 + (3.0 * a * sp * numer) / den1 ** 2)) / den1 ** 2
+    ds_dc = -sp * (1.0 + (2.0 * a * sp * numer) / den1 ** 2) / den1
+
+    den2 = cp + (2.0 * a + b) * sp
+    da_da = (1.0 / den2 ** 3) * (1.0 - (6.0 * a * sp) * (s_star + a * ds_da) / den2)
+    da_db = (-3.0 * a * sp * (2.0 * a * ds_db + 1.0)) / den2 ** 4
+    da_dc = (-6.0 * sp * ds_dc * a * a) / den2 ** 4
+
+    den3 = cp + (2.0 * a * s_star + b) * sp
+    br3 = cp - (sp * (-sp + (2.0 * a * s_star + b) * cp)) / den3
+    db_da = 2.0 * (s_star + a * ds_da) * br3 / den3
+    db_db = (1.0 + 2.0 * a * ds_da) * br3 / den3   # ds_da: ref :98 quirk
+    db_dc = 2.0 * a * ds_dc * br3 / den3
+
+    br4 = cp * (2.0 * a + b) - sp
+    dc_da = ds_da * br4 + s_star * s_star * cp
+    dc_db = ds_db * br4 + s_star * cp
+    dc_dc = ds_dc * br4 + cp
+
+    F = jnp.stack([
+        jnp.stack([da_da, da_db, da_dc], axis=-1),
+        jnp.stack([db_da, db_db, db_dc], axis=-1),
+        jnp.stack([dc_da, dc_db, dc_dc], axis=-1),
+    ], axis=-2)
+    return F
+
+
+def message_passing(g: GraphState, cfg: PipelineConfig) -> GraphState:
+    """One extrapolation round; returns the graph with per-edge updated
+    states, chi2-failed edges deactivated, and (bug_compat) the tails'
+    merged covariances advanced by their accumulated var_ms."""
+    dtype = g.dtype
+    n_xyzr = g.xyzr[g.src]    # tail ("node" in ref)
+    m_xyzr = g.xyzr[g.dst]    # head ("neighbour")
+    nx_, ny_, nz_, nr_ = (n_xyzr[:, i] for i in range(4))
+    mx_, my_, mz_, mr_ = (m_xyzr[:, i] for i in range(4))
+
+    merged = g.merged_state[g.src]
+    a, b, c = merged[:, 0], merged[:, 1], merged[:, 2]
+
+    proc = g.edge_mask & g.active & g.has_merged[g.src]
+
+    # --- multiple scattering per edge (ref :112-124; global head x) ---
+    dr = mr_ - nr_
+    dz = mz_ - nz_
+    hyp = jnp.sqrt(dr * dr + dz * dz)
+    sin_t = jnp.abs(dr) / jnp.maximum(hyp, 1e-300)
+    kappa = (2.0 * a) / (1.0 + (2.0 * a * mx_ + b) ** 2) ** 1.5
+    var_ms = sin_t * cfg.ms_coefficient() * kappa * kappa
+    endcap_n = jnp.abs(nz_) >= cfg.endcap_boundary
+    var_ms = jnp.where(endcap_n, var_ms * jnp.abs(dr) / jnp.abs(dz), var_ms)
+    var_ms = jnp.where(proc, var_ms, 0.0)
+
+    # --- cumulative in-place merged_cov mutation (ref :127-128) ---
+    otab = g.out_edges
+    oe = jnp.maximum(otab, 0)
+    slot_ms = jnp.where(otab >= 0, var_ms[oe], 0.0)
+    cum = jnp.cumsum(slot_ms, axis=1)          # inclusive
+    if cfg.bug_compat:
+        cum_e = jnp.zeros((g.num_padded_edges,), dtype).at[oe.reshape(-1)].max(
+            jnp.where(otab >= 0, cum, 0.0).reshape(-1))
+        total_ms = cum[:, -1]
+        new_merged_cov = g.merged_cov.at[:, 1, 1].add(
+            jnp.where(g.has_merged, total_ms, 0.0))
+    else:
+        cum_e = var_ms
+        new_merged_cov = g.merged_cov
+
+    cov_eff = g.merged_cov[g.src].at[:, 1, 1].add(cum_e)
+
+    # --- frame change + transport (ref :40-79) ---
+    alpha = jnp.arctan2(ny_, nx_)
+    ca, sa = jnp.cos(alpha), jnp.sin(alpha)
+    x_A = (mx_ - nx_) * ca + (my_ - ny_) * sa
+    phi = jnp.arctan2(nx_ * my_ - ny_ * mx_, nx_ * mx_ + ny_ * my_)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+
+    F = _jacobian_and_transport(a, b, c, x_A, sp, cp)
+    extrp = linalg.mat3_vec(F, merged)
+    extrp_cov = linalg.sandwich3(F, cov_eff)
+
+    # --- chi2 gate (ref :132-140,297-298) ---
+    S = extrp_cov[:, 2, 2] + cfg.sigma0xy ** 2
+    chi2 = extrp[:, 2] * extrp[:, 2] / S
+    passed = proc & (chi2 <= cfg.chi2_cut_factor)
+    failed = proc & ~passed
+
+    # --- Kalman predict (double transport, ref :306-322) + Joseph update ---
+    two_pi = 2.0 * jnp.pi
+    likelihood = (two_pi * jnp.abs(S)) ** -0.5 * jnp.exp(-0.5 * chi2)
+
+    Q = jnp.zeros_like(extrp_cov).at[:, 1, 1].set(var_ms)
+    if cfg.bug_compat:
+        x_pred = linalg.mat3_vec(F, extrp)
+        P_pred = linalg.sandwich3(F, extrp_cov) + Q
+    else:
+        x_pred = extrp
+        P_pred = extrp_cov + Q
+    R = jnp.asarray(cfg.sigma0xy ** 2, dtype)
+    Sk = P_pred[:, 2, 2] + R
+    K = P_pred[:, :, 2] / Sk[:, None]          # gain for H = [0, 0, 1]
+    x_post = x_pred + K * (0.0 - x_pred[:, 2])[:, None]
+    ikh = jnp.eye(3, dtype=dtype) - K[:, :, None] * jnp.array(
+        [0.0, 0.0, 1.0], dtype)[None, None, :]
+    P_post = linalg.sandwich3(ikh, P_pred) + R * K[:, :, None] * K[:, None, :]
+
+    # --- joint [a, b, tau] rebuild (ref :325-365) ---
+    tau = dz / dr
+    sz1, sr1 = rz_sigmas(nz_, cfg, dtype)
+    sz2, sr2 = rz_sigmas(mz_, cfg, dtype)
+    inv_dr = 1.0 / dr
+    var_tau = (inv_dr * inv_dr * (sz1 * sz1 + sz2 * sz2)
+               + (dz * inv_dr * inv_dr) ** 2 * (sr1 * sr1 + sr2 * sr2))
+    joint = jnp.stack([x_post[:, 0], x_post[:, 1], tau], axis=-1)
+    joint_cov = P_post.at[:, :, 2].set(0.0).at[:, 2, :].set(0.0)
+    joint_cov = joint_cov.at[:, 2, 2].set(var_tau + var_ms)
+    if cfg.bug_compat:
+        P_post = joint_cov                     # alias (ref :362-365)
+
+    # --- write updated states on passing edges (ref :441-447) ---
+    w = g.seed_weight[g.reverse]               # reverse-edge weight (ref :384)
+    sel = passed
+    sv_ = lambda new, old: jnp.where(sel[:, None], new, old)
+    sm_ = lambda new, old: jnp.where(sel[:, None, None], new, old)
+    return g.replace(
+        merged_cov=new_merged_cov,
+        active=g.active & ~failed,
+        has_updated=g.has_updated | sel,
+        upd_sv=sv_(x_post, g.upd_sv),
+        upd_cov=sm_(P_post, g.upd_cov),
+        upd_joint=sv_(joint, g.upd_joint),
+        upd_joint_cov=sm_(joint_cov, g.upd_joint_cov),
+        upd_weight=jnp.where(sel, w, g.upd_weight),
+        upd_likelihood=jnp.where(sel, likelihood, g.upd_likelihood),
+    )

@@ -582,3 +582,124 @@ def cca_active(G):
     drop = [(u, v) for u, v in sub.edges() if sub[u][v]["activated"] == 0]
     sub.remove_edges_from(drop)
     return [sub.subgraph(c).copy() for c in nx.weakly_connected_components(sub)]
+
+
+def check_close_proximity(cand, cfg):
+    """extract_track_candidates.py:58-151 -> (coords_by_node or None, n_merged).
+
+    Returns the post-merge coordinate mapping when the candidate can be
+    processed (merged where appropriate), else None.  The ORIGINAL node set
+    is what gets extracted either way (ref :419-424,444).
+    """
+    nodes = list(cand.nodes())
+    vivl = [cand.nodes[n]["vivl_id"] for n in nodes]
+    freq = {v: vivl.count(v) for v in vivl}
+    counts = list(freq.values())
+
+    coords = {n: tuple(cand.nodes[n]["xyzr"]) for n in nodes}
+    if 2 not in counts:
+        merged_coords = None
+    else:
+        non2 = [c for c in counts if c != 2]
+        if (len(counts) - len(non2) <= 2) and all(c == 1 for c in non2):
+            merged_coords = dict(coords)
+            n_merged = 0
+            for dup in {v for v in vivl if vivl.count(v) == 2}:
+                pair = [n for n, v in zip(nodes, vivl) if v == dup]
+                (x1, y1, z1, _), (x2, y2, z2, _) = (coords[pair[0]], coords[pair[1]])
+                d = math.dist((x1, y1, z1), (x2, y2, z2))
+                if d <= cfg.node_merge_distance:
+                    xm, ym, zm = (x1 + x2) / 2, (y1 + y2) / 2, (z1 + z2) / 2
+                    rm = math.hypot(xm, ym)
+                    merged_coords[pair[0]] = (xm, ym, zm, rm)
+                    del merged_coords[pair[1]]
+                    n_merged += 1
+                else:
+                    merged_coords = None
+                    break
+        else:
+            merged_coords = None
+
+    if merged_coords is not None:
+        return merged_coords, True
+    return coords, False
+
+
+def extract_stage(G, cfg, file_of_node):
+    """extract_track_candidates.py:349-467 over the whole graph.
+
+    file_of_node maps each node to its original ingest component (the
+    reference's per-file granularity for remaining/fragment classification).
+    Returns dict with accepted candidate node-sets, p-values, and the node
+    sets removed as fragments.  Mutates G by removing extracted/fragment
+    nodes.
+    """
+    accepted, pvals = [], []
+    for cand in cca_active(G):
+        if cand.number_of_nodes() < cfg.min_track_hits:
+            continue
+        coords_by_node, merged = check_close_proximity(cand, cfg)
+        if merged:
+            vivl_check = [cand.nodes[n]["vivl_id"] for n in coords_by_node]
+        else:
+            vivl_check = [cand.nodes[n]["vivl_id"] for n in cand.nodes()]
+        if len(vivl_check) != len(set(vivl_check)):
+            continue
+        if len(set(vivl_check)) < cfg.min_track_hits:
+            continue
+        coords = sorted(coords_by_node.values(), key=lambda c: -c[3])
+        coords = rotate_track(coords, cfg.separation_3d_threshold)
+        pval, pval_zr = kf_track_fit(coords, cfg)
+        if pval >= cfg.track_acceptance_pval and pval_zr >= cfg.track_acceptance_pval:
+            accepted.append(set(cand.nodes()))
+            pvals.append((pval, pval_zr))
+
+    for nodes in accepted:
+        G.remove_nodes_from(nodes)
+
+    # fragment classification per original file (ref :459-467)
+    remaining_by_file = {}
+    for n in G.nodes():
+        remaining_by_file.setdefault(file_of_node[n], []).append(n)
+    fragments = []
+    for f, nodes in remaining_by_file.items():
+        if 0 < len(nodes) < cfg.min_track_hits:
+            fragments.append(set(nodes))
+    for nodes in fragments:
+        G.remove_nodes_from(nodes)
+    return {"accepted": accepted, "pvals": pvals, "fragments": fragments}
+
+
+# --------------------------------------------------------------------------
+# full pipeline (run_gnn_trackml_mod.sh:71-148 schedule)
+# --------------------------------------------------------------------------
+
+def run_pipeline(G, cfg, file_of_node, neighbour_order=None, succ_order=None):
+    """Event conversion tail + the 3-iteration schedule with extraction."""
+    seed_states(G, cfg, neighbour_order=neighbour_order)
+    initialize_edge_activation(G)
+    compute_prior_probabilities(G, "track_state_estimates")
+    compute_mixture_weights(G, "track_state_estimates")
+    update_degrees(G)
+
+    results = []
+    for i in range(1, cfg.num_iterations + 1):
+        if i == 1:
+            cluster(G, "track_state_estimates",
+                    cfg.chi2_threshold_seed, cfg.kl_threshold_seed, cfg)
+            update_degrees(G)
+            compute_mixture_weights(G, "track_state_estimates")
+            compute_prior_probabilities(G, "track_state_estimates")
+        elif i % 2 == 0:
+            extrapolation_stage(G, cfg, neighbour_order=succ_order)
+        else:
+            cluster(G, "updated_track_states",
+                    cfg.chi2_threshold_updated, cfg.kl_threshold_updated, cfg)
+            update_degrees(G)
+            compute_mixture_weights(G, "updated_track_states")
+            compute_prior_probabilities(G, "updated_track_states")
+        res = extract_stage(G, cfg, file_of_node)
+        if i % 2 == 0:
+            remove_state_metadata(G, cfg)
+        results.append(res)
+    return results

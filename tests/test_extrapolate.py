@@ -1,0 +1,90 @@
+import numpy as np
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.build import build_graph_state
+from gnn_track_finding_tpu.models import toymc
+
+from tests import helpers
+from tests.oracle import ref_impl
+
+CFG = PipelineConfig(node_bucket=64, edge_bucket=256)
+
+
+def insertion_order(G, node):
+    return list(G.predecessors(node))
+
+
+def successors_order(G, node):
+    return list(G.successors(node))
+
+
+def prepared_clustered(seed=11, **kw):
+    ev = toymc.generate_event(seed=seed, **kw)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    g = helpers.seed_and_init(g, CFG)
+    g = helpers.cluster_j(g, CFG, False)
+
+    G = toymc.to_networkx(ev)
+    ref_impl.seed_states(G, CFG, neighbour_order=insertion_order)
+    ref_impl.initialize_edge_activation(G)
+    ref_impl.compute_mixture_weights(G, "track_state_estimates")
+    ref_impl.compute_prior_probabilities(G, "track_state_estimates")
+    ref_impl.cluster(G, "track_state_estimates",
+                     CFG.chi2_threshold_seed, CFG.kl_threshold_seed, CFG)
+    return ev, g, G
+
+
+def test_extrapolation_stage_matches_oracle():
+    ev, g, G = prepared_clustered(num_tracks=16, edge_dphi_window=0.12)
+
+    g2 = helpers.extrapolation_stage(g, CFG)
+
+    ref_impl.extrapolation_stage(G, CFG, neighbour_order=successors_order)
+
+    src = np.asarray(g2.src)
+    dst = np.asarray(g2.dst)
+    has_u = np.asarray(g2.has_updated)
+    act = np.asarray(g2.active)
+    usv = np.asarray(g2.upd_sv)
+    ucov = np.asarray(g2.upd_cov)
+    ujoint = np.asarray(g2.upd_joint)
+    ujcov = np.asarray(g2.upd_joint_cov)
+    uw = np.asarray(g2.upd_weight)
+    ul = np.asarray(g2.upd_likelihood)
+    upr = np.asarray(g2.upd_prior)
+
+    n_updated = 0
+    for e in range(g2.n_edges):
+        s, d = src[e], dst[e]
+        ref_states = G.nodes[d].get("updated_track_states", {})
+        ref_has = s in ref_states
+        assert bool(has_u[e]) == ref_has, f"edge {s}->{d}"
+        assert bool(act[e]) == (G[s][d]["activated"] == 1), f"edge {s}->{d}"
+        if ref_has:
+            n_updated += 1
+            r = ref_states[s]
+            np.testing.assert_allclose(usv[e], r["edge_state_vector"],
+                                       rtol=1e-8, atol=1e-14, err_msg=f"{s}->{d}")
+            np.testing.assert_allclose(ucov[e], r["edge_covariance"],
+                                       rtol=1e-7, atol=1e-14)
+            np.testing.assert_allclose(ujoint[e], r["joint_vector"],
+                                       rtol=1e-8, atol=1e-14)
+            np.testing.assert_allclose(ujcov[e], r["joint_vector_covariance"],
+                                       rtol=1e-7, atol=1e-14)
+            np.testing.assert_allclose(ul[e], r["likelihood"], rtol=1e-8)
+            np.testing.assert_allclose(uw[e], r["mixture_weight"],
+                                       rtol=1e-8, err_msg=f"weight {s}->{d}")
+            if "prior" in r:
+                np.testing.assert_allclose(upr[e], r["prior"], rtol=1e-10)
+    assert n_updated > 0, "no updated states produced — test is vacuous"
+
+    deg = np.asarray(g2.degree)
+    for node in range(g2.n_nodes):
+        assert deg[node] == G.nodes[node]["degree"], f"degree node {node}"
+
+    # merged_cov mutation parity (cumulative var_ms, ref :127-128)
+    mc = np.asarray(g2.merged_cov)
+    for node in range(g2.n_nodes):
+        if "merged_cov" in G.nodes[node]:
+            np.testing.assert_allclose(mc[node], G.nodes[node]["merged_cov"],
+                                       rtol=1e-8, atol=1e-14)

@@ -1,0 +1,60 @@
+import numpy as np
+import networkx as nx
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.build import build_graph_state
+from gnn_track_finding_tpu.models import toymc, pipeline
+
+from tests.oracle import ref_impl
+
+CFG = PipelineConfig(node_bucket=64, edge_bucket=256)
+
+
+def insertion_order(G, node):
+    return list(G.predecessors(node))
+
+
+def successors_order(G, node):
+    return list(G.successors(node))
+
+
+def test_full_pipeline_matches_oracle():
+    ev = toymc.generate_event(seed=11, num_tracks=16, edge_dphi_window=0.12)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    out = pipeline.run_pipeline(g, CFG)
+
+    G = toymc.to_networkx(ev)
+    file_of_node = {}
+    for comp in nx.weakly_connected_components(G):
+        lab = min(comp)
+        for n in comp:
+            file_of_node[n] = lab
+    ref_results = ref_impl.run_pipeline(
+        G, CFG, file_of_node,
+        neighbour_order=insertion_order, succ_order=successors_order)
+
+    # per-iteration accepted candidate sets
+    ref_cands = {}
+    for i, res in enumerate(ref_results, start=1):
+        for s, pv in zip(res["accepted"], res["pvals"]):
+            ref_cands[frozenset(s)] = (i, pv)
+    dev_cands = {frozenset(int(x) for x in c.nodes): (c.iteration,
+                                                      (c.pval_xy, c.pval_zr))
+                 for c in out.candidates}
+    assert set(dev_cands.keys()) == set(ref_cands.keys()), (
+        f"device={len(dev_cands)} oracle={len(ref_cands)}")
+    assert len(ref_cands) > 0
+    for k, (it, (pa, pb)) in dev_cands.items():
+        rit, (rpa, rpb) = ref_cands[k]
+        assert it == rit
+        np.testing.assert_allclose(pa, rpa, rtol=1e-5)
+        np.testing.assert_allclose(pb, rpb, rtol=1e-5)
+
+    # final surviving node set
+    alive_dev = set(np.flatnonzero(np.asarray(out.graph.node_mask)[:g.n_nodes]))
+    assert alive_dev == set(G.nodes())
+
+    # truth quality: most candidates should be pure single-track sets
+    pure = sum(1 for k in dev_cands
+               if len({int(ev.truth[n]) for n in k}) == 1)
+    assert pure >= 0.7 * len(dev_cands)

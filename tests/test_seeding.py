@@ -1,11 +1,11 @@
 import numpy as np
-import jax
 
 from gnn_track_finding_tpu.config import PipelineConfig
 from gnn_track_finding_tpu.graph.build import build_graph_state
 from gnn_track_finding_tpu.models import toymc
-from gnn_track_finding_tpu.ops import seeding, priors
+from gnn_track_finding_tpu.ops import priors
 
+from tests import helpers
 from tests.oracle import ref_impl
 
 CFG = PipelineConfig(node_bucket=64, edge_bucket=256)
@@ -18,7 +18,7 @@ def insertion_order(G, node):
 def seeded_pair(seed=0, **kw):
     ev = toymc.generate_event(seed=seed, **kw)
     g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
-    g = jax.jit(seeding.seed_track_states, static_argnums=1)(g, CFG)
+    g = helpers.seed_j(g, CFG)
     G = toymc.to_networkx(ev)
     ref_impl.seed_states(G, CFG, neighbour_order=insertion_order)
     return ev, g, G
@@ -57,9 +57,9 @@ def test_gradient_stats_match_oracle():
 def test_weights_priors_degrees_match_oracle():
     ev, g, G = seeded_pair(seed=5)
     g = priors.initialize_edge_activation(g)
-    g = jax.jit(priors.compute_mixture_weights, static_argnums=1)(g, False)
-    g = jax.jit(priors.compute_prior_probabilities, static_argnums=1)(g, False)
-    g = jax.jit(priors.update_degrees)(g)
+    g = helpers.weights_j(g, False)
+    g = helpers.priors_j(g, False)
+    g = helpers.degrees_j(g)
 
     ref_impl.initialize_edge_activation(G)
     ref_impl.compute_mixture_weights(G, "track_state_estimates")
