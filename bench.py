@@ -1,0 +1,86 @@
+"""Benchmark: message-passing iteration throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The workload is the reference's hot stage (SURVEY.md section 3.3): one full
+extrapolation iteration — Kalman extrapolate/validate/update over every
+active directed edge plus the double prior/reweight renormalisation — on
+the TrackML event graph (minCurv_0.3_134: 55,701 nodes, ~331k directed
+edges), float32, steady state.
+
+Baseline: the reference Python pipeline measured on this machine
+(see BASELINE.md "measured" section): extrapolation stage edges/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Baseline measured by running /root/reference stage CLIs on this machine
+# (single CPU process, volume 7, see BASELINE.md "Measured" section):
+# 14,766 directed edges / 6 s extrapolation stage wall-clock.
+REF_EDGES_PER_S = 2461.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/root/repo/.jax_cache/{jax.default_backend()}")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from gnn_track_finding_tpu.config import PipelineConfig
+    from gnn_track_finding_tpu.data import trackml
+    from gnn_track_finding_tpu.models import pipeline
+
+    cfg = PipelineConfig()
+    log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
+
+    t0 = time.time()
+    g, _ = trackml.load_event(trackml.DEFAULT_EVENT, cfg, dtype=jnp.float32)
+    log(f"[bench] loaded {g.n_nodes} nodes / {g.n_edges} directed edges "
+        f"in {time.time() - t0:.1f}s")
+
+    prep = jax.jit(pipeline.prepare, static_argnums=1)
+    clus = jax.jit(pipeline.cluster_stage, static_argnums=(1, 2))
+    extr = jax.jit(pipeline.extrapolation_stage, static_argnums=1)
+
+    t0 = time.time()
+    g = prep(g, cfg)
+    g = clus(g, cfg, False)
+    jax.block_until_ready(g.active)
+    log(f"[bench] prepare+cluster (incl. compile) {time.time() - t0:.1f}s")
+
+    # warm up + compile the measured stage
+    t0 = time.time()
+    out = extr(g, cfg)
+    jax.block_until_ready(out.active)
+    log(f"[bench] extrapolation compile+first run {time.time() - t0:.1f}s")
+
+    # steady state: repeat from the same input state
+    n_rep = 10
+    t0 = time.time()
+    for _ in range(n_rep):
+        out = extr(g, cfg)
+    jax.block_until_ready(out.active)
+    dt = (time.time() - t0) / n_rep
+    edges_per_s = g.n_edges / dt
+    log(f"[bench] extrapolation iteration: {dt * 1e3:.1f} ms "
+        f"-> {edges_per_s:,.0f} edges/s")
+
+    print(json.dumps({
+        "metric": "message_passing_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / REF_EDGES_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -113,17 +113,16 @@ def build_graph_state(
     k = cfg.max_node_degree
     while k < max_deg:
         k *= 2
-    in_tab = np.full((n, k), -1, np.int32)
-    out_tab = np.full((n, k), -1, np.int32)
-    in_fill = np.zeros(n, np.int32)
-    out_fill = np.zeros(n, np.int32)
-    for ei in range(e):
-        d_ = dst[ei]
-        in_tab[d_, in_fill[d_]] = ei
-        in_fill[d_] += 1
-        s_ = src[ei]
-        out_tab[s_, out_fill[s_]] = ei
-        out_fill[s_] += 1
+    def edge_table(keys: np.ndarray) -> np.ndarray:
+        tab = np.full((n, k), -1, np.int32)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        pos = np.arange(e) - np.searchsorted(sk, sk, side="left")
+        tab[sk, pos] = order.astype(np.int32)
+        return tab
+
+    in_tab = edge_table(dst)
+    out_tab = edge_table(src)
 
     # -- pad to buckets --
     n_pad = _round_up(max(n, 1), cfg.node_bucket)

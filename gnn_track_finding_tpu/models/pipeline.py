@@ -43,10 +43,11 @@ def prepare(g: GraphState, cfg: PipelineConfig) -> GraphState:
 
 
 def cluster_stage(g: GraphState, cfg: PipelineConfig,
-                  use_updated: bool) -> GraphState:
+                  use_updated: bool, kl_thresholds=None) -> GraphState:
     """Clustering iteration incl. the weight/prior recompute + degree update
-    (clustering.py:323-327,372-373)."""
-    g = clustering.cluster(g, cfg, use_updated)
+    (clustering.py:323-327,372-373).  kl_thresholds: optional per-node KL
+    acceptance thresholds from the calibration LUT (calib/lut.py)."""
+    g = clustering.cluster(g, cfg, use_updated, kl_thresholds)
     g = priors.update_degrees(g)
     g = priors.compute_mixture_weights(g, use_updated)
     g = priors.compute_prior_probabilities(g, use_updated)
@@ -65,15 +66,15 @@ def extrapolation_stage(g: GraphState, cfg: PipelineConfig) -> GraphState:
     return g
 
 
-def iteration(g: GraphState, cfg: PipelineConfig, i: int
+def iteration(g: GraphState, cfg: PipelineConfig, i: int, kl_thresholds=None
               ) -> Tuple[GraphState, extract.ExtractionResult]:
     """One full iteration: stage + extraction + metadata pruning."""
     if i == 1:
-        g = cluster_stage(g, cfg, use_updated=False)
+        g = cluster_stage(g, cfg, use_updated=False, kl_thresholds=kl_thresholds)
     elif i % 2 == 0:
         g = extrapolation_stage(g, cfg)
     else:
-        g = cluster_stage(g, cfg, use_updated=True)
+        g = cluster_stage(g, cfg, use_updated=True, kl_thresholds=kl_thresholds)
     res = extract.extract_candidates(g, cfg)
     g = extract.apply_extraction(g, res, cfg)
     if i % 2 == 0:
@@ -100,13 +101,14 @@ _iteration_jit = jax.jit(iteration, static_argnums=(1, 2))
 _prepare_jit = jax.jit(prepare, static_argnums=1)
 
 
-def run_pipeline(g: GraphState, cfg: PipelineConfig) -> PipelineResult:
+def run_pipeline(g: GraphState, cfg: PipelineConfig,
+                 kl_thresholds=None) -> PipelineResult:
     """Host driver: sequence jitted iterations, collect candidates."""
     g = _prepare_jit(g, cfg)
     candidates: List[Candidate] = []
     per_iter = []
     for i in range(1, cfg.num_iterations + 1):
-        g, res = _iteration_jit(g, cfg, i)
+        g, res = _iteration_jit(g, cfg, i, kl_thresholds)
         per_iter.append(res)
         acc = np.asarray(res.accepted)
         mat = np.asarray(res.cand_nodes)

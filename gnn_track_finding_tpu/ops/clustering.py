@@ -107,8 +107,17 @@ def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, tab: jax.Array,
     return jnp.where(ok, chi2, jnp.inf)
 
 
-def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool) -> GraphState:
-    """One GMR clustering round over the whole graph."""
+def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
+            kl_thresholds=None) -> GraphState:
+    """One GMR clustering round over the whole graph.
+
+    kl_thresholds: optional per-node (N,) KL acceptance thresholds from the
+    calibration LUT (calib/lut.py).  The reference plumbs its LUT file into
+    clustering but never reads it (clustering.py:386,400 — per-bin
+    thresholds commented out in clustering_updated_states_test.py:176,233);
+    passing them here enables the intended feature.  None -> the global
+    scalar threshold from the config (run_gnn_trackml_mod.sh:89,112).
+    """
     dtype = g.dtype
     member = (g.has_updated if use_updated else g.edge_mask) & g.edge_mask
     tab, count = _compact_member_edges(g, member)
@@ -131,7 +140,8 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool) -> GraphState
 
     gate = (count > cfg.cluster_min_edges - 1) & (count < cfg.cluster_max_edges + 1)
 
-    chi2_thr, kl_thr = cfg.cluster_thresholds(use_updated)
+    chi2_thr, kl_thr_scalar = cfg.cluster_thresholds(use_updated)
+    kl_thr = kl_thr_scalar if kl_thresholds is None else kl_thresholds
     chi2 = _pairwise_chi2(g, cfg, tab, valid, j_sv, j_cov)
     # min over nonzero entries (clustering.py:119-120)
     chi2 = jnp.where(chi2 == 0.0, jnp.inf, chi2)

@@ -78,32 +78,28 @@ def _side_norms(g: GraphState) -> jax.Array:
     Reference: calculate_side_norm_factor (helper.py:99-139).  The side of
     edge e=(src->dst) is 'left' when x_src < x_dst; the norm is the number
     of DISTINCT x coordinates among the head's active updated in-senders on
-    that side.  Computed on the (N, K) in-edge table with a K x K
-    first-occurrence mask.
+    that side.  Computed edge-parallel by sorting edges on (dst, side, x)
+    and counting first occurrences per (dst, side) segment — O(E log E)
+    with no K x K blowup.
     """
-    tab = g.in_edges                      # (N, K)
-    valid = tab >= 0
-    e = jnp.maximum(tab, 0)
-    ok = valid & g.has_updated[e] & g.active[e] & g.edge_mask[e]
-    xs = g.xyzr[g.src[e], 0]
-    x_node = g.xyzr[:, 0][:, None]
-    left = xs < x_node                    # (N, K)
-
-    same_x = xs[:, :, None] == xs[:, None, :]          # (N, K, K)
-    same_side = left[:, :, None] == left[:, None, :]
-    ok_pair = ok[:, :, None] & ok[:, None, :]
-    k = tab.shape[1]
-    earlier = (jnp.arange(k)[:, None] > jnp.arange(k)[None, :])  # j < i
-    dup_before = jnp.any(same_x & same_side & ok_pair & earlier[None], axis=2)
-    is_first = ok & ~dup_before
-    # distinct count on each side
-    n_left = jnp.sum(is_first & left, axis=1)
-    n_right = jnp.sum(is_first & ~left, axis=1)
-    # scatter back to edges: norm for edge e
-    per_slot = jnp.where(left, n_left[:, None], n_right[:, None])
-    norms = jnp.zeros((g.num_padded_edges,), g.dtype)
-    norms = norms.at[e.reshape(-1)].set(
-        jnp.where(ok, per_slot, 0).astype(g.dtype).reshape(-1))
+    ok = g.has_updated & g.active & g.edge_mask
+    xs = g.xyzr[g.src, 0]
+    left = xs < g.xyzr[g.dst, 0]
+    side = jnp.where(left, 0, 1)
+    seg = g.dst * 2 + side                       # (node, side) segment id
+    n_seg = 2 * g.num_padded_nodes
+    big = jnp.int32(n_seg)
+    sort_seg = jnp.where(ok, seg, big)
+    order = jnp.lexsort((xs, sort_seg))
+    s_seg = sort_seg[order]
+    s_x = xs[order]
+    prev_same = jnp.concatenate([
+        jnp.array([False]),
+        (s_seg[1:] == s_seg[:-1]) & (s_x[1:] == s_x[:-1])])
+    first = (s_seg < big) & ~prev_same
+    counts = jax.ops.segment_sum(first.astype(g.dtype),
+                                 jnp.minimum(s_seg, n_seg - 1), n_seg)
+    norms = jnp.where(ok, counts[seg], 1.0)
     return jnp.maximum(norms, 1.0)
 
 

@@ -1,0 +1,104 @@
+"""CLI runner — the L3 orchestration analog of run_gnn_trackml_mod.sh.
+
+Runs the whole iterative pipeline on one TrackML event (or a toy event) in
+a single process with the graph resident on device, then reports
+reconstruction efficiency, replacing the bash stage loop + gpickle relay
+(run_gnn_trackml_mod.sh:71-167).
+
+Usage:
+  python -m gnn_track_finding_tpu.run               # TrackML event, volume 7
+  python -m gnn_track_finding_tpu.run --toy         # toy event
+  python -m gnn_track_finding_tpu.run --f32         # float32 (TPU perf mode)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--toy", action="store_true", help="run on a toy event")
+    parser.add_argument("--f32", action="store_true",
+                        help="float32 compute (default float64)")
+    parser.add_argument("--iterations", type=int, default=3)
+    parser.add_argument("--json", action="store_true",
+                        help="emit one JSON summary line")
+    args = parser.parse_args()
+
+    import jax
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnn_track_finding_tpu.config import PipelineConfig
+    from gnn_track_finding_tpu.models import pipeline, toymc
+    from gnn_track_finding_tpu.graph.build import build_graph_state
+
+    cfg = PipelineConfig(num_iterations=args.iterations)
+    dtype = jnp.float32 if args.f32 else jnp.float64
+
+    t0 = time.time()
+    if args.toy:
+        cfg = dataclasses.replace(cfg, node_bucket=256, edge_bucket=1024)
+        ev = toymc.generate_event(num_tracks=50, seed=1)
+        g, host = build_graph_state(ev.xyzr, ev.vivl, ev.truth,
+                                    ev.edge_pairs, cfg, dtype=dtype)
+    else:
+        from gnn_track_finding_tpu.data import trackml
+        g, host = trackml.load_event(trackml.DEFAULT_EVENT, cfg, dtype=dtype)
+    t_load = time.time() - t0
+    print(f"[load] {g.n_nodes} nodes, {g.n_edges} directed edges, "
+          f"K={g.max_degree}, padded ({g.num_padded_nodes}, "
+          f"{g.num_padded_edges}) in {t_load:.1f}s")
+
+    t0 = time.time()
+    out = pipeline.run_pipeline(g, cfg)
+    t_pipe = time.time() - t0
+    print(f"[pipeline] {len(out.candidates)} candidates in {t_pipe:.1f}s "
+          f"({g.n_edges * cfg.num_iterations / t_pipe:.0f} edges/s/iter avg)")
+    per_it = {}
+    for c in out.candidates:
+        per_it[c.iteration] = per_it.get(c.iteration, 0) + 1
+    print(f"[pipeline] candidates per iteration: {per_it}")
+
+    summary = {"nodes": g.n_nodes, "edges": g.n_edges,
+               "candidates": len(out.candidates),
+               "pipeline_seconds": t_pipe}
+
+    if args.toy:
+        pure = sum(1 for c in out.candidates
+                   if len({int(ev.truth[n]) for n in c.nodes}) == 1)
+        print(f"[eval] pure candidates: {pure}/{len(out.candidates)}")
+        summary["pure"] = pure
+    else:
+        from gnn_track_finding_tpu.evaluation import efficiency
+        from gnn_track_finding_tpu.data import trackml
+        rep = efficiency.evaluate(
+            [c.nodes for c in out.candidates], host,
+            trackml.DEFAULT_EVENT.particles_csv,
+            trackml.DEFAULT_EVENT.truth_csv, cfg)
+        print(f"[eval] reference tracks: {rep.num_reference}, "
+              f"reconstructed: {rep.num_reconstructed}, "
+              f"efficiency: {rep.efficiency_pct:.3f}%")
+        if len(rep.track_purities):
+            print(f"[eval] mean track purity {rep.track_purities.mean():.3f}, "
+                  f"mean particle purity {rep.particle_purities.mean():.3f}")
+        summary.update(efficiency_pct=rep.efficiency_pct,
+                       num_reference=rep.num_reference,
+                       num_reconstructed=rep.num_reconstructed)
+
+    if args.json:
+        print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

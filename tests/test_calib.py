@@ -1,0 +1,54 @@
+import numpy as np
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.calib import training_data, lut
+from gnn_track_finding_tpu.graph.build import build_graph_state
+from gnn_track_finding_tpu.models import toymc, pipeline
+
+CFG = PipelineConfig(node_bucket=64, edge_bucket=256)
+
+
+def test_training_data_shape_and_truth():
+    rows = training_data.generate_training_data(num_events=3, seed=7, cfg=CFG,
+                                                num_tracks=10)
+    assert rows.shape[1] == 4
+    kl, emp_var, degree, truth = rows.T
+    assert set(np.unique(truth)) <= {0.0, 1.0}
+    assert (degree >= 2).all()
+    assert np.isfinite(kl).all()
+    # true pairs should have smaller KL distances on average
+    assert kl[truth == 1].mean() < kl[truth == 0].mean()
+
+
+def test_lut_quantile_roundtrip(tmp_path):
+    rows = training_data.generate_training_data(num_events=5, seed=1, cfg=CFG,
+                                                num_tracks=12)
+    table = lut.fit_lut_quantile(rows, feature="emp_var")
+    path = str(tmp_path / "empvar.lut")
+    table.save(path)
+    loaded = lut.KLThresholdLUT.load(
+        path, feature="emp_var",
+        feature_bin_width=table.feature_bin_width,
+        kl_bin_width=table.kl_bin_width)
+    np.testing.assert_array_equal(loaded.upper, table.upper)
+    # reference artifact format: "i lo hi" rows
+    first = open(path).readline().split()
+    assert len(first) == 3
+
+    thr = table.thresholds_for(np.array([0.0, 0.01, 1e9]))
+    assert thr.shape == (3,)
+    assert (thr >= 0).all()
+
+
+def test_cluster_with_lut_thresholds_runs():
+    import jax.numpy as jnp
+    rows = training_data.generate_training_data(num_events=3, seed=2, cfg=CFG,
+                                                num_tracks=12)
+    table = lut.fit_lut_quantile(rows, feature="emp_var")
+
+    ev = toymc.generate_event(seed=11, num_tracks=16, edge_dphi_window=0.12)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    g = pipeline._prepare_jit(g, CFG)
+    thr = jnp.asarray(table.thresholds_for(np.asarray(g.grad_stats)[:, 1]))
+    out = pipeline.run_pipeline(g, CFG, kl_thresholds=thr)
+    assert len(out.candidates) > 0
