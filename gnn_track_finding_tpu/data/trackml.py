@@ -84,12 +84,24 @@ def load_event_arrays(paths: TrackMLPaths, cfg: PipelineConfig):
     return xyzr, vivl, truth_particle, pairs, extra
 
 
-def load_event(paths: TrackMLPaths, cfg: PipelineConfig, dtype=None):
-    """-> (GraphState, HostEvent) for one TrackML event."""
+def load_event(paths: TrackMLPaths, cfg: PipelineConfig, dtype=None,
+               use_native: bool = True):
+    """-> (GraphState, HostEvent) for one TrackML event.
+
+    Uses the C++ loader (native/loader.cc, ~40x faster than the pandas
+    path with byte-identical arrays) when its shared library is available.
+    """
     import jax.numpy as jnp
     if dtype is None:
         dtype = jnp.float64 if jnp.zeros(()).dtype == jnp.float64 else jnp.float32
-    xyzr, vivl, truth_particle, pairs, extra = load_event_arrays(paths, cfg)
+    from gnn_track_finding_tpu.data import native_loader
+    if use_native and native_loader.available():
+        xyzr, vivl, truth_particle, pairs, extra = (
+            native_loader.load_event_arrays_native(
+                paths.nodes_csv, paths.edges_csv, paths.truth_csv,
+                cfg.min_volume, cfg.max_volume))
+    else:
+        xyzr, vivl, truth_particle, pairs, extra = load_event_arrays(paths, cfg)
     return build_graph_state(xyzr, vivl, truth_particle, pairs, cfg,
                              dtype=dtype, host_extra=extra)
 
