@@ -1,0 +1,85 @@
+import os
+
+import numpy as np
+import networkx as nx
+import jax.numpy as jnp
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph import cca
+from gnn_track_finding_tpu.graph.build import build_graph_state
+from gnn_track_finding_tpu.models import toymc, pipeline
+from gnn_track_finding_tpu.ops import metrics
+from gnn_track_finding_tpu.utils import timing, checkpoint
+
+CFG = PipelineConfig(node_bucket=64, edge_bucket=256)
+
+
+def test_device_cca_matches_networkx_random_graphs():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        n = 40
+        m = rng.integers(10, 60)
+        pairs = rng.integers(0, n, size=(m, 2))
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        src = jnp.asarray(np.concatenate([pairs[:, 0], pairs[:, 1]]).astype(np.int32))
+        dst = jnp.asarray(np.concatenate([pairs[:, 1], pairs[:, 0]]).astype(np.int32))
+        ok = jnp.ones(src.shape[0], bool)
+        node_ok = jnp.ones(n, bool)
+        labels = np.asarray(cca.connected_components(src, dst, ok, node_ok))
+
+        G = nx.Graph()
+        G.add_nodes_from(range(n))
+        G.add_edges_from(pairs)
+        for comp in nx.connected_components(G):
+            lab = min(comp)
+            for node in comp:
+                assert labels[node] == lab, f"trial {trial} node {node}"
+
+
+def test_confusion_metrics():
+    ev = toymc.generate_event(seed=11, num_tracks=16, edge_dphi_window=0.12)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    g = pipeline._prepare_jit(g, CFG)
+    before = g
+    g2 = pipeline.cluster_stage(g, CFG, use_updated=False)
+    cm = metrics.edge_decision_confusion(before, g2)
+    assert cm.tp + cm.fp + cm.tn + cm.fn == int(np.sum(
+        np.asarray(before.edge_mask & before.active)))
+    assert 0.0 <= cm.precision <= 1.0
+    summ = metrics.graph_summary(g2)
+    assert summ["merged_nodes"] > 0
+    assert summ["active_edges"] <= summ["edges"]
+
+
+def test_stage_timer_artifacts(tmp_path):
+    t = timing.StageTimer()
+    with t.stage("alpha"):
+        pass
+    with t.stage("beta"):
+        pass
+    d = t.durations()
+    assert list(d.keys()) == ["alpha", "beta"]
+    t.write_artifacts(str(tmp_path))
+    stages = open(os.path.join(tmp_path, "execution_stages.txt")).read().split()
+    assert stages == ["start_time", "alpha", "beta"]
+    times = open(os.path.join(tmp_path, "execution_times.txt")).read().split()
+    assert len(times) == 3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ev = toymc.generate_event(seed=3, num_tracks=8)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    g = pipeline._prepare_jit(g, CFG)
+    out = pipeline.run_pipeline(g, CFG)
+    checkpoint.save(str(tmp_path / "ckpt"), out.graph,
+                    candidates=out.candidates, iteration=3)
+    blank = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)[0]
+    g2, cands = checkpoint.restore(str(tmp_path / "ckpt"), blank, iteration=3)
+    np.testing.assert_array_equal(np.asarray(out.graph.node_mask),
+                                  np.asarray(g2.node_mask))
+    np.testing.assert_allclose(np.asarray(out.graph.merged_state),
+                               np.asarray(g2.merged_state))
+    assert len(cands) == len(out.candidates)
+    for a, b in zip(cands, out.candidates):
+        assert np.array_equal(a.nodes, b.nodes)
+        assert a.iteration == b.iteration
