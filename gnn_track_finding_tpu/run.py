@@ -25,6 +25,9 @@ def main() -> None:
     parser.add_argument("--f32", action="store_true",
                         help="float32 compute (default float64)")
     parser.add_argument("--iterations", type=int, default=3)
+    parser.add_argument("--volumes", type=int, nargs=2, default=None,
+                        metavar=("MIN", "MAX"),
+                        help="volume range (default: config 7 7)")
     parser.add_argument("--json", action="store_true",
                         help="emit one JSON summary line")
     args = parser.parse_args()
@@ -44,6 +47,9 @@ def main() -> None:
     from gnn_track_finding_tpu.graph.build import build_graph_state
 
     cfg = PipelineConfig(num_iterations=args.iterations)
+    if args.volumes:
+        cfg = dataclasses.replace(cfg, min_volume=args.volumes[0],
+                                  max_volume=args.volumes[1])
     dtype = jnp.float32 if args.f32 else jnp.float64
 
     t0 = time.time()

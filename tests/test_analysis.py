@@ -1,0 +1,68 @@
+import numpy as np
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.build import build_graph_state
+from gnn_track_finding_tpu.models import toymc, pipeline
+from gnn_track_finding_tpu.analysis import (community, distributions, pulls,
+                                            remaining, state_distances)
+
+CFG = PipelineConfig(node_bucket=64, edge_bucket=256)
+
+
+def pipeline_result():
+    ev = toymc.generate_event(seed=11, num_tracks=16, edge_dphi_window=0.12)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    out = pipeline.run_pipeline(g, CFG)
+    return ev, g, out
+
+
+def test_pull_residuals():
+    ev, g, out = pipeline_result()
+    g_seeded = pipeline._prepare_jit(g, CFG)
+    res = pulls.pull_residuals(g_seeded, CFG)
+    n = len(res["pull_a"])
+    assert n > 0
+    for k in ("pull_b", "pull_c", "pull_tau", "pull_theta1", "pull_theta2",
+              "truth"):
+        assert len(res[k]) == n
+    # true-pair pulls of the direction parameter should be near unit-ish
+    true_b = res["pull_b"][res["truth"] == 1]
+    assert np.isfinite(true_b).all()
+    w = pulls.fwhm(true_b)
+    assert np.isfinite(w) and w > 0
+
+
+def test_remaining_and_coverage():
+    ev, g, out = pipeline_result()
+    stats = remaining.analyse_remaining(out.graph)
+    assert stats.get("remaining_components", 0) >= 0
+    cov = remaining.updated_state_coverage(out.graph)
+    assert 0.0 <= cov["fraction"] <= 1.0
+
+
+def test_updated_state_distances():
+    ev, g, out = pipeline_result()
+    # state after iteration 2 holds updated states
+    g1 = pipeline._prepare_jit(g, CFG)
+    g1, _ = pipeline._iteration_jit(g1, CFG, 1, None)
+    g2, _ = pipeline._iteration_jit(g1, CFG, 2, None)
+    d = state_distances.updated_state_distances(g2, CFG)
+    assert len(d["chi2"]) == len(d["kl"]) == len(d["truth"])
+
+
+def test_community_detection_runs():
+    ev, g, out = pipeline_result()
+    coms = community.detect_communities(out.graph, CFG)
+    for c in coms:
+        assert len(c) >= CFG.min_track_hits
+
+
+def test_distribution_artifacts(tmp_path):
+    ev, g, out = pipeline_result()
+    distributions.save_pvals_csv(out.candidates, str(tmp_path / "pvals.csv"))
+    assert (tmp_path / "pvals.csv").exists()
+    distributions.plot_pval_distributions(out.candidates, str(tmp_path))
+    assert (tmp_path / "p_value_distribution_xy.png").exists()
+    distributions.plot_candidates_xy_zr(g, out.candidates, str(tmp_path))
+    assert (tmp_path / "subgraphs_xy.png").exists()
+    assert (tmp_path / "subgraphs_zr.png").exists()
