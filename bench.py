@@ -49,30 +49,37 @@ def main():
 
     prep = jax.jit(pipeline.prepare, static_argnums=1)
     clus = jax.jit(pipeline.cluster_stage, static_argnums=(1, 2))
-    extr = jax.jit(pipeline.extrapolation_stage, static_argnums=1)
+
+    n_rep = 10
+
+    # fused n_rep-iteration loop: measures pure device time per iteration;
+    # the scalar .item() forces execution to finish (block_until_ready does
+    # NOT drain remote execution on the axon relay backend)
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop_extrap(gr, cfg):
+        def body(i, gg):
+            return pipeline.extrapolation_stage(gg, cfg)
+        out = jax.lax.fori_loop(0, n_rep, body, gr)
+        return out.active.sum()
 
     t0 = time.time()
     g = prep(g, cfg)
     g = clus(g, cfg, False)
-    jax.block_until_ready(g.active)
+    _ = g.active.sum().item()
     log(f"[bench] prepare+cluster (incl. compile) {time.time() - t0:.1f}s")
 
-    # warm up + compile the measured stage
     t0 = time.time()
-    out = extr(g, cfg)
-    jax.block_until_ready(out.active)
-    log(f"[bench] extrapolation compile+first run {time.time() - t0:.1f}s")
+    _ = loop_extrap(g, cfg).item()
+    log(f"[bench] extrapolation loop compile+first run {time.time() - t0:.1f}s")
 
-    # steady state: repeat from the same input state
-    n_rep = 10
     t0 = time.time()
-    for _ in range(n_rep):
-        out = extr(g, cfg)
-    jax.block_until_ready(out.active)
+    checksum = loop_extrap(g, cfg).item()
     dt = (time.time() - t0) / n_rep
     edges_per_s = g.n_edges / dt
     log(f"[bench] extrapolation iteration: {dt * 1e3:.1f} ms "
-        f"-> {edges_per_s:,.0f} edges/s")
+        f"-> {edges_per_s:,.0f} edges/s (checksum {checksum})")
 
     print(json.dumps({
         "metric": "message_passing_edges_per_s",

@@ -52,6 +52,7 @@ def _load():
     lib.gnn_get_pairs.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.gnn_get_truth.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
     lib.gnn_free.argtypes = [ctypes.c_void_p]
+    lib.gnn_cca.argtypes = [ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 4
     _lib = lib
     return lib
 
@@ -100,3 +101,17 @@ def load_event_arrays_native(nodes_csv: str, edges_csv: str, truth_csv: str,
              "hit_particle_ids": pid_list, "module_ids": mod_list,
              "components": comp}
     return xyzr, vivl, truth_pid, pairs.astype(np.int64), extra
+
+
+def connected_components_native(src: np.ndarray, dst: np.ndarray,
+                                ok: np.ndarray, n: int) -> np.ndarray:
+    """Union-find CCA over a masked directed edge list (min-id labels)."""
+    lib = _load()
+    assert lib is not None, "native loader not built (make -C native)"
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    ok = np.ascontiguousarray(ok, np.uint8)
+    labels = np.empty(n, np.int32)
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.gnn_cca(n, len(src), p(src), p(dst), p(ok), p(labels))
+    return labels

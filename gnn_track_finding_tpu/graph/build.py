@@ -113,16 +113,18 @@ def build_graph_state(
     k = cfg.max_node_degree
     while k < max_deg:
         k *= 2
-    def edge_table(keys: np.ndarray) -> np.ndarray:
+    def edge_table(keys: np.ndarray):
         tab = np.full((n, k), -1, np.int32)
+        slot = np.zeros(e, np.int32)
         order = np.argsort(keys, kind="stable")
         sk = keys[order]
         pos = np.arange(e) - np.searchsorted(sk, sk, side="left")
         tab[sk, pos] = order.astype(np.int32)
-        return tab
+        slot[order] = pos.astype(np.int32)
+        return tab, slot
 
-    in_tab = edge_table(dst)
-    out_tab = edge_table(src)
+    in_tab, slot_in = edge_table(dst)
+    out_tab, slot_out = edge_table(src)
 
     # -- pad to buckets --
     n_pad = _round_up(max(n, 1), cfg.node_bucket)
@@ -170,6 +172,11 @@ def build_graph_state(
         upd_prior=f(e_pad), upd_weight=f(e_pad), upd_likelihood=f(e_pad),
         in_edges=jnp.asarray(padn(in_tab, fill=-1)),
         out_edges=jnp.asarray(padn(out_tab, fill=-1)),
+        slot_in=jnp.asarray(pade(slot_in)),
+        slot_out=jnp.asarray(pade(slot_out)),
+        e_xyzr=jnp.asarray(
+            pade(np.concatenate([xyzr[src], xyzr[dst]], axis=1)), dtype),
+        e_src_layer=jnp.asarray(pade(layer_idx[src])),
     )
     host = HostEvent(
         node_ids=(host_extra or {}).get("node_ids", np.arange(n)),

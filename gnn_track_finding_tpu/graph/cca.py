@@ -44,3 +44,73 @@ def connected_components(src: jax.Array, dst: jax.Array, edge_ok: jax.Array,
 
     labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
     return jnp.where(node_ok, labels, init)
+
+
+def connected_components_paired(g, edge_ok: jax.Array) -> jax.Array:
+    """Device CCA exploiting the build layout: directed edges are stored
+    interleaved with their reverses (build.py: 2i = u->v, 2i+1 = v->u), so
+    the undirected pair list is the even slice — halving the edge-sized
+    gathers/scatters per round — and each round ends with a deep pointer-
+    jumping pass (6 hops) so long-diameter components converge in far
+    fewer rounds than the 2-hop variant.
+    """
+    from gnn_track_finding_tpu.ops import gtools
+
+    n = g.node_mask.shape[0]
+    a = g.src[0::2]
+    b = g.dst[0::2]
+    ok = edge_ok[0::2] | edge_ok[1::2]   # weak connectivity
+    init = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(n)
+
+    def body(state):
+        labels, _ = state
+        la = gtools.gather1d(labels, a)
+        lb = gtools.gather1d(labels, b)
+        le = jnp.where(ok, jnp.minimum(la, lb), big)
+        new = labels.at[a].min(le)
+        new = new.at[b].min(le)
+
+        def jump(_, l):
+            return gtools.gather1d(l, gtools.gather1d(l, l))
+
+        new = jax.lax.fori_loop(0, 3, jump, new)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                   (init, jnp.bool_(True)))
+    return jnp.where(g.node_mask, labels, init)
+
+
+def connected_components_tables(g, edge_ok: jax.Array) -> jax.Array:
+    """Scatter-free CCA over the fixed-K edge tables.
+
+    Same result as `connected_components`, but each round is two (N, K)
+    gathers + row reductions instead of edge scatters (TPU scatters
+    serialize; this is the production path used by extraction).
+    """
+    n = g.num_padded_nodes
+    init = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(n)
+
+    in_e = jnp.maximum(g.in_edges, 0)
+    out_e = jnp.maximum(g.out_edges, 0)
+    in_ok = (g.in_edges >= 0) & edge_ok[in_e]
+    out_ok = (g.out_edges >= 0) & edge_ok[out_e]
+    in_nb = g.src[in_e]          # (N, K) neighbour ids, static
+    out_nb = g.dst[out_e]
+
+    def body(state):
+        labels, _ = state
+        l_in = jnp.where(in_ok, labels[in_nb], big).min(axis=1)
+        l_out = jnp.where(out_ok, labels[out_nb], big).min(axis=1)
+        new = jnp.minimum(labels, jnp.minimum(l_in, l_out))
+        new = new[new]
+        new = new[new]
+        return new, jnp.any(new != labels)
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    return jnp.where(g.node_mask, labels, init)

@@ -85,6 +85,17 @@ class GraphState:
     #      reproducing NetworkX adjacency iteration order) ----
     in_edges: jax.Array       # (N,K) int32 edge indices with dst == node, -1 pad
     out_edges: jax.Array      # (N,K) int32 edge indices with src == node, -1 pad
+    # inverse maps: e == in_edges[dst[e], slot_in[e]] == out_edges[src[e],
+    # slot_out[e]].  They turn every table->edge scatter into a gather
+    # (TPU scatters serialize; gathers vectorize).
+    slot_in: jax.Array        # (E,) int32
+    slot_out: jax.Array       # (E,) int32
+    # static pre-gathered endpoint data: [xyzr[src] | xyzr[dst]] per edge.
+    # Coordinates never change, so this removes per-stage dynamic gathers;
+    # width-8 rows also hit the TPU gather fast path when indexed by edge
+    # tables (1-element gathers are pathologically slow on TPU).
+    e_xyzr: jax.Array         # (E, 8)
+    e_src_layer: jax.Array    # (E,) int32 dense layer index of the tail
 
     @property
     def num_padded_nodes(self) -> int:
@@ -123,4 +134,6 @@ def blank_state(n_pad: int, e_pad: int, k: int, n_layers: int,
         upd_prior=f(e_pad), upd_weight=f(e_pad), upd_likelihood=f(e_pad),
         in_edges=jnp.full((n_pad, k), -1, jnp.int32),
         out_edges=jnp.full((n_pad, k), -1, jnp.int32),
+        slot_in=i(e_pad), slot_out=i(e_pad),
+        e_xyzr=f(e_pad, 8), e_src_layer=i(e_pad),
     )

@@ -66,20 +66,33 @@ def extrapolation_stage(g: GraphState, cfg: PipelineConfig) -> GraphState:
     return g
 
 
-def iteration(g: GraphState, cfg: PipelineConfig, i: int, kl_thresholds=None
-              ) -> Tuple[GraphState, extract.ExtractionResult]:
-    """One full iteration: stage + extraction + metadata pruning."""
+def stage_step(g: GraphState, cfg: PipelineConfig, i: int,
+               kl_thresholds=None) -> GraphState:
+    """The pre-extraction stage of iteration i (schedule in module doc)."""
     if i == 1:
-        g = cluster_stage(g, cfg, use_updated=False, kl_thresholds=kl_thresholds)
-    elif i % 2 == 0:
-        g = extrapolation_stage(g, cfg)
-    else:
-        g = cluster_stage(g, cfg, use_updated=True, kl_thresholds=kl_thresholds)
-    res = extract.extract_candidates(g, cfg)
+        return cluster_stage(g, cfg, use_updated=False,
+                             kl_thresholds=kl_thresholds)
+    if i % 2 == 0:
+        return extrapolation_stage(g, cfg)
+    return cluster_stage(g, cfg, use_updated=True,
+                         kl_thresholds=kl_thresholds)
+
+
+def extract_step(g: GraphState, cfg: PipelineConfig, i: int, labels=None
+                 ) -> Tuple[GraphState, extract.ExtractionResult]:
+    """Extraction + removal + (even iterations) metadata pruning."""
+    res = extract.extract_candidates(g, cfg, labels)
     g = extract.apply_extraction(g, res, cfg)
     if i % 2 == 0:
         g = metadata.remove_state_metadata(g, cfg)
     return g, res
+
+
+def iteration(g: GraphState, cfg: PipelineConfig, i: int, kl_thresholds=None
+              ) -> Tuple[GraphState, extract.ExtractionResult]:
+    """One full iteration: stage + extraction + metadata pruning."""
+    g = stage_step(g, cfg, i, kl_thresholds)
+    return extract_step(g, cfg, i)
 
 
 @dataclasses.dataclass
@@ -99,16 +112,35 @@ class PipelineResult:
 
 _iteration_jit = jax.jit(iteration, static_argnums=(1, 2))
 _prepare_jit = jax.jit(prepare, static_argnums=1)
+_stage_jit = jax.jit(stage_step, static_argnums=(1, 2))
+_extract_jit = jax.jit(extract_step, static_argnums=(1, 2))
+
+
+def _host_cca_labels(g: GraphState):
+    """CCA labels via the native union-find (one linear host pass) when the
+    C++ loader is built; None -> the jitted path falls back to device CCA."""
+    from gnn_track_finding_tpu.data import native_loader
+    if not native_loader.available():
+        return None
+    import jax.numpy as jnp
+    ok = np.asarray(g.edge_mask & g.active)
+    src = np.asarray(g.src)
+    dst = np.asarray(g.dst)
+    labels = native_loader.connected_components_native(
+        src, dst, ok, g.num_padded_nodes)
+    return jnp.asarray(labels)
 
 
 def run_pipeline(g: GraphState, cfg: PipelineConfig,
-                 kl_thresholds=None) -> PipelineResult:
+                 kl_thresholds=None, host_cca: bool = True) -> PipelineResult:
     """Host driver: sequence jitted iterations, collect candidates."""
     g = _prepare_jit(g, cfg)
     candidates: List[Candidate] = []
     per_iter = []
     for i in range(1, cfg.num_iterations + 1):
-        g, res = _iteration_jit(g, cfg, i, kl_thresholds)
+        g = _stage_jit(g, cfg, i, kl_thresholds)
+        labels = _host_cca_labels(g) if host_cca else None
+        g, res = _extract_jit(g, cfg, i, labels)
         per_iter.append(res)
         acc = np.asarray(res.accepted)
         mat = np.asarray(res.cand_nodes)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from gnn_track_finding_tpu.config import PipelineConfig
 from gnn_track_finding_tpu.graph.state import GraphState
-from gnn_track_finding_tpu.ops import linalg
+from gnn_track_finding_tpu.ops import gtools, linalg
 
 KC = 16  # compact table width == reference's upper degree gate
 
@@ -43,7 +43,7 @@ def _compact_member_edges(g: GraphState, member: jax.Array) -> Tuple[jax.Array, 
     Returns (edge_idx (N, KC) int32 with -1 padding, member_count (N,)).
     """
     tab = g.in_edges                      # (N, K)
-    valid = (tab >= 0) & member[jnp.maximum(tab, 0)]
+    valid = (tab >= 0) & gtools.gather1d(member, jnp.maximum(tab, 0))
     order = jnp.argsort(~valid, axis=1, stable=True)
     sorted_tab = jnp.take_along_axis(tab, order, axis=1)
     sorted_valid = jnp.take_along_axis(valid, order, axis=1)
@@ -57,7 +57,7 @@ def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, tab: jax.Array,
     """Masked (N, KC, KC) lower-triangle chi2 matrix (clustering.py:11-86)."""
     dtype = g.dtype
     e = jnp.maximum(tab, 0)
-    nb_xyzr = g.xyzr[g.src[e]]            # (N, KC, 4)
+    nb_xyzr = g.e_xyzr[e][..., :4]        # (N, KC, 4): static src coords
     node_xyzr = g.xyzr                    # (N, 4)
 
     # [a, b] block distance
@@ -127,11 +127,11 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     if use_updated:
         p_sv, p_cov = g.upd_sv[e], g.upd_cov[e]
         j_sv, j_cov = g.upd_joint[e], g.upd_joint_cov[e]
-        prior = g.upd_prior[e]
+        prior = gtools.gather1d(g.upd_prior, e)
     else:
         p_sv, p_cov = g.seed_sv[e], g.seed_cov[e]
         j_sv, j_cov = g.seed_joint[e], g.seed_joint_cov[e]
-        prior = g.seed_prior[e]
+        prior = gtools.gather1d(g.seed_prior, e)
 
     eye = jnp.eye(3, dtype=dtype)
     safe = lambda c: jnp.where(valid[:, :, None, None], c, eye)
@@ -197,10 +197,18 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     merged_cov = jnp.where(found[:, None, None], pc, g.merged_cov)
     merged_prior = jnp.where(found, mprior, g.merged_prior)
 
-    # simultaneous deactivation of unabsorbed in-edges
-    deact_slot = remaining & found[:, None]
-    deact = jnp.zeros((g.num_padded_edges,), bool)
-    deact = deact.at[e.reshape(-1)].max(deact_slot.reshape(-1))
+    # simultaneous deactivation of unabsorbed in-edges.  Each member edge
+    # reads its verdict back through its rank among the head's member
+    # in-edges (gather via slot_in, no scatter): the compact table position
+    # of a member edge equals that rank (stable compaction).
+    deact_slot = remaining & found[:, None]              # (N, KC)
+    tab_member = (g.in_edges >= 0) & gtools.gather1d(
+        member, jnp.maximum(g.in_edges, 0))
+    rank_slot = jnp.cumsum(tab_member, axis=1) - 1       # (N, K)
+    rank_e = gtools.table_lookup(rank_slot, g.dst, g.slot_in)
+    in_compact = member & (rank_e >= 0) & (rank_e < KC)
+    deact = in_compact & gtools.table_lookup(
+        deact_slot, g.dst, jnp.clip(rank_e, 0, KC - 1))
     deact = deact & g.edge_mask
 
     return g.replace(

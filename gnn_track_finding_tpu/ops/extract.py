@@ -36,34 +36,63 @@ from gnn_track_finding_tpu.graph import cca
 
 class ExtractionResult(NamedTuple):
     labels: jax.Array        # (N,) component label per node (this round's CCA)
-    cand_nodes: jax.Array    # (N, H) node indices per candidate row, -1 pad
-    cand_size: jax.Array     # (N,) nodes in the candidate (pre-merge)
-    processed: jax.Array     # (N,) candidate reached the KF fit
-    accepted: jax.Array      # (N,) passed both p-value gates
-    merged_pair: jax.Array   # (N,) number of proximity-merged node pairs
-    pval_xy: jax.Array       # (N,)
-    pval_zr: jax.Array       # (N,)
+    row_of_node: jax.Array   # (N,) candidate row per node, -1 if none
+    cand_nodes: jax.Array    # (C, H) node indices per candidate row, -1 pad
+    cand_size: jax.Array     # (C,) nodes in the candidate (pre-merge)
+    processed: jax.Array     # (C,) candidate reached the KF fit
+    accepted: jax.Array      # (C,) passed both p-value gates
+    merged_pair: jax.Array   # (C,) number of proximity-merged node pairs
+    pval_xy: jax.Array       # (C,)
+    pval_zr: jax.Array       # (C,)
 
 
-def _candidate_matrix(g: GraphState, labels: jax.Array, h: int):
-    """Rows of node indices per component, radius-descending (ref :433-436)."""
+def _candidate_matrix(g: GraphState, labels: jax.Array, h: int,
+                      min_hits: int):
+    """Compacted rows of node indices per eligible component
+    (size in [min_hits, h]), radius-descending within a row (ref :433-436).
+
+    C = N // min_hits + 1 is a hard upper bound on the number of eligible
+    components, so the row space is ~min_hits-fold smaller than N.
+    """
+    from gnn_track_finding_tpu.ops import gtools
+
     n = g.num_padded_nodes
+    c = n // min_hits + 1
     alive = g.node_mask
     big = jnp.int32(n)
     lab = jnp.where(alive, labels, big)
-    order = jnp.lexsort((-g.xyzr[:, 3], lab))
-    sorted_lab = lab[order]
-    pos_all = jnp.arange(n, dtype=jnp.int32)
-    first = jax.ops.segment_min(pos_all, sorted_lab, num_segments=n + 1)
-    pos = pos_all - first[sorted_lab]
 
-    mat = jnp.full((n, h), -1, jnp.int32)
-    ok = (sorted_lab < big) & (pos < h)
-    rows = jnp.where(ok, sorted_lab, n - 1)
+    size_by_label = jax.ops.segment_sum(alive.astype(jnp.int32), lab, n + 1)
+    eligible = (size_by_label[:n] >= min_hits) & (size_by_label[:n] <= h)
+    row_of_label = jnp.cumsum(eligible.astype(jnp.int32)) - 1
+    row_of_label = jnp.where(eligible, row_of_label, -1)    # (N,)
+
+    order = jnp.lexsort((-g.xyzr[:, 3], lab))
+    # packed row gather for the per-position data after the sort
+    lab_row = jnp.stack([lab, jnp.arange(n, dtype=jnp.int32)], axis=1)[order]
+    sorted_lab = lab_row[:, 0]
+    # within-segment position via a scan (no label-indexed gather needed)
+    pos_all = jnp.arange(n, dtype=jnp.int32)
+    change = jnp.concatenate([jnp.array([True]),
+                              sorted_lab[1:] != sorted_lab[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(change, pos_all, 0))
+    pos = pos_all - seg_start
+
+    sorted_row = jnp.where(
+        sorted_lab < big,
+        gtools.gather1d(row_of_label, jnp.minimum(sorted_lab, n - 1)), -1)
+    ok = (sorted_row >= 0) & (pos < h)
+    mat = jnp.full((c, h), -1, jnp.int32)
+    rows = jnp.where(ok, sorted_row, c - 1)
     cols = jnp.where(ok, pos, 0)
-    mat = mat.at[rows, cols].max(jnp.where(ok, order.astype(jnp.int32), -1))
-    size = jax.ops.segment_sum(alive.astype(jnp.int32), lab, n + 1)[:n]
-    return mat, size
+    mat = mat.at[rows, cols].max(jnp.where(ok, lab_row[:, 1], -1))
+
+    size = jnp.zeros((c,), jnp.int32).at[
+        jnp.where(eligible, row_of_label, c - 1)].max(
+        jnp.where(eligible, size_by_label[:n], 0))
+    row_of_node = jnp.where(
+        alive, gtools.gather1d(row_of_label, jnp.minimum(lab, n - 1)), -1)
+    return mat, size, row_of_node
 
 
 def _proximity_merge(g: GraphState, cfg: PipelineConfig, mat: jax.Array,
@@ -269,18 +298,23 @@ def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
     return pval_xy, pval_zr
 
 
-def extract_candidates(g: GraphState, cfg: PipelineConfig):
-    """One extraction round.  Returns (new_graph, ExtractionResult).
+def extract_candidates(g: GraphState, cfg: PipelineConfig, labels=None):
+    """One extraction round -> ExtractionResult.
 
-    Node/edge removal for accepted candidates and fragment classification
-    (per original ingest component, ref :459-467) is applied by the caller
-    via `apply_extraction` so the result can first be inspected host-side.
+    labels: optional precomputed CCA labels (min node id per weak component
+    over active edges).  The host driver passes labels from the native
+    union-find (data/native_loader.connected_components_native, one linear
+    pass) — far cheaper than the device label-propagation loop, which is
+    used when labels is None (pure-jit contexts: benchmarks, dry runs,
+    sharded batches).  Node/edge removal is applied separately via
+    `apply_extraction` so results can be inspected host-side first.
     """
     h = cfg.max_track_hits
-    labels = cca.connected_components(g.src, g.dst,
-                                      g.edge_mask & g.active, g.node_mask)
-    mat, size = _candidate_matrix(g, labels, h)
-    big_enough = (size >= cfg.min_track_hits) & (size <= h)
+    if labels is None:
+        labels = cca.connected_components_paired(g, g.edge_mask & g.active)
+    mat, size, row_of_node = _candidate_matrix(g, labels, h,
+                                               cfg.min_track_hits)
+    big_enough = size >= cfg.min_track_hits   # eligibility pre-filtered
 
     coords, valid_m, can_process, n_pairs = _proximity_merge(g, cfg, mat, size)
     n_hits = jnp.sum(valid_m, axis=1)
@@ -298,23 +332,29 @@ def extract_candidates(g: GraphState, cfg: PipelineConfig):
     accepted = (processed & (pval_xy >= cfg.track_acceptance_pval)
                 & (pval_zr >= cfg.track_acceptance_pval))
     return ExtractionResult(
-        labels=labels, cand_nodes=mat, cand_size=size, processed=processed,
-        accepted=accepted, merged_pair=n_pairs,
-        pval_xy=pval_xy, pval_zr=pval_zr)
+        labels=labels, row_of_node=row_of_node, cand_nodes=mat,
+        cand_size=size, processed=processed, accepted=accepted,
+        merged_pair=n_pairs, pval_xy=pval_xy, pval_zr=pval_zr)
 
 
 def apply_extraction(g: GraphState, res: ExtractionResult,
                      cfg: PipelineConfig) -> GraphState:
     """Remove accepted candidates' nodes, then drop whole ingest components
     that fell below the fragment size (ref :459-467)."""
+    from gnn_track_finding_tpu.ops import gtools
+
     n = g.num_padded_nodes
-    node_extracted = res.accepted[res.labels] & g.node_mask
+    row = res.row_of_node
+    node_extracted = ((row >= 0)
+                      & gtools.gather1d(res.accepted, jnp.maximum(row, 0))
+                      & g.node_mask)
     mask1 = g.node_mask & ~node_extracted
     # fragment classification at the granularity of the original component
     comp = jnp.where(mask1, g.component, n)
     left = jax.ops.segment_sum(mask1.astype(jnp.int32), comp, n + 1)
-    frag = (left[g.component] < cfg.min_track_hits)
+    frag = gtools.gather1d(left, g.component) < cfg.min_track_hits
     new_node_mask = mask1 & ~frag
-    new_edge_mask = (g.edge_mask & new_node_mask[g.src] & new_node_mask[g.dst])
+    new_edge_mask = (g.edge_mask & gtools.gather1d(new_node_mask, g.src)
+                     & gtools.gather1d(new_node_mask, g.dst))
     return g.replace(node_mask=new_node_mask, edge_mask=new_edge_mask,
                      active=g.active & new_edge_mask)

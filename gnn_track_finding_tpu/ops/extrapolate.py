@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from gnn_track_finding_tpu.config import PipelineConfig
 from gnn_track_finding_tpu.graph.state import GraphState
-from gnn_track_finding_tpu.ops import linalg
+from gnn_track_finding_tpu.ops import gtools, linalg
 from gnn_track_finding_tpu.ops.seeding import rz_sigmas
 
 
@@ -79,15 +79,20 @@ def message_passing(g: GraphState, cfg: PipelineConfig) -> GraphState:
     states, chi2-failed edges deactivated, and (bug_compat) the tails'
     merged covariances advanced by their accumulated var_ms."""
     dtype = g.dtype
-    n_xyzr = g.xyzr[g.src]    # tail ("node" in ref)
-    m_xyzr = g.xyzr[g.dst]    # head ("neighbour")
-    nx_, ny_, nz_, nr_ = (n_xyzr[:, i] for i in range(4))
-    mx_, my_, mz_, mr_ = (m_xyzr[:, i] for i in range(4))
+    nx_, ny_, nz_, nr_ = (g.e_xyzr[:, i] for i in range(4))      # tail
+    mx_, my_, mz_, mr_ = (g.e_xyzr[:, 4 + i] for i in range(4))  # head
 
-    merged = g.merged_state[g.src]
+    # one packed row gather for everything node-dynamic at the tail:
+    # [merged_state(3) | merged_cov(9) | has_merged(1)]
+    packed = jnp.concatenate([
+        g.merged_state, g.merged_cov.reshape(-1, 9),
+        g.has_merged[:, None].astype(dtype)], axis=1)
+    pe = packed[g.src]                                  # (E, 13)
+    merged = pe[:, :3]
+    merged_cov_src = pe[:, 3:12].reshape(-1, 3, 3)
     a, b, c = merged[:, 0], merged[:, 1], merged[:, 2]
 
-    proc = g.edge_mask & g.active & g.has_merged[g.src]
+    proc = g.edge_mask & g.active & (pe[:, 12] > 0.5)
 
     # --- multiple scattering per edge (ref :112-124; global head x) ---
     dr = mr_ - nr_
@@ -103,11 +108,12 @@ def message_passing(g: GraphState, cfg: PipelineConfig) -> GraphState:
     # --- cumulative in-place merged_cov mutation (ref :127-128) ---
     otab = g.out_edges
     oe = jnp.maximum(otab, 0)
-    slot_ms = jnp.where(otab >= 0, var_ms[oe], 0.0)
+    slot_ms = jnp.where(otab >= 0, gtools.gather1d(var_ms, oe), 0.0)
     cum = jnp.cumsum(slot_ms, axis=1)          # inclusive
     if cfg.bug_compat:
-        cum_e = jnp.zeros((g.num_padded_edges,), dtype).at[oe.reshape(-1)].max(
-            jnp.where(otab >= 0, cum, 0.0).reshape(-1))
+        # edge e reads its own inclusive prefix back via its out-slot:
+        # row gather + take_along (two-index gathers lower worse)
+        cum_e = jnp.take_along_axis(cum[g.src], g.slot_out[:, None], 1)[:, 0]
         total_ms = cum[:, -1]
         new_merged_cov = g.merged_cov.at[:, 1, 1].add(
             jnp.where(g.has_merged, total_ms, 0.0))
@@ -115,7 +121,7 @@ def message_passing(g: GraphState, cfg: PipelineConfig) -> GraphState:
         cum_e = var_ms
         new_merged_cov = g.merged_cov
 
-    cov_eff = g.merged_cov[g.src].at[:, 1, 1].add(cum_e)
+    cov_eff = merged_cov_src.at[:, 1, 1].add(cum_e)
 
     # --- frame change + transport (ref :40-79) ---
     alpha = jnp.arctan2(ny_, nx_)
@@ -167,7 +173,9 @@ def message_passing(g: GraphState, cfg: PipelineConfig) -> GraphState:
         P_post = joint_cov                     # alias (ref :362-365)
 
     # --- write updated states on passing edges (ref :441-447) ---
-    w = g.seed_weight[g.reverse]               # reverse-edge weight (ref :384)
+    # reverse-edge weight (ref :384).  The build interleaves each edge with
+    # its reverse (reverse == e XOR 1), so this is a pair swap, not a gather.
+    w = g.seed_weight.reshape(-1, 2)[:, ::-1].reshape(-1)
     sel = passed
     sv_ = lambda new, old: jnp.where(sel[:, None], new, old)
     sm_ = lambda new, old: jnp.where(sel[:, None, None], new, old)

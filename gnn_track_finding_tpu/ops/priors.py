@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from gnn_track_finding_tpu.config import PipelineConfig
 from gnn_track_finding_tpu.graph.state import GraphState
+from gnn_track_finding_tpu.ops import gtools
 
 
 def _state_membership(g: GraphState, use_updated: bool) -> jax.Array:
@@ -43,7 +44,7 @@ def compute_mixture_weights(g: GraphState, use_updated: bool) -> GraphState:
     n = g.num_padded_nodes
     count = jax.ops.segment_sum(member.astype(g.dtype), g.dst, n)
     w = 1.0 / jnp.maximum(count, 1.0)
-    new_w = jnp.where(member, w[g.dst], 0.0)
+    new_w = jnp.where(member, gtools.gather1d(w, g.dst), 0.0)
     if use_updated:
         return g.replace(upd_weight=new_w)
     return g.replace(seed_weight=new_w)
@@ -54,10 +55,12 @@ def compute_prior_probabilities(g: GraphState, use_updated: bool) -> GraphState:
     (helper.py:43-63); inactive entries keep their previous prior."""
     member = _state_membership(g, use_updated)
     eligible = member & g.active & g.edge_mask
-    key = g.dst * g.n_layers + g.layer_idx[g.src]
+    key = g.dst * g.n_layers + g.e_src_layer
     num_seg = g.num_padded_nodes * g.n_layers
     count = jax.ops.segment_sum(eligible.astype(g.dtype), key, num_seg)
-    prior = 1.0 / jnp.maximum(count[key], 1.0)
+    count_e = gtools.table_lookup(count.reshape(-1, g.n_layers),
+                                  g.dst, g.e_src_layer)
+    prior = 1.0 / jnp.maximum(count_e, 1.0)
     old = g.upd_prior if use_updated else g.seed_prior
     new = jnp.where(eligible, prior, old)
     if use_updated:
@@ -83,23 +86,25 @@ def _side_norms(g: GraphState) -> jax.Array:
     with no K x K blowup.
     """
     ok = g.has_updated & g.active & g.edge_mask
-    xs = g.xyzr[g.src, 0]
-    left = xs < g.xyzr[g.dst, 0]
+    xs = g.e_xyzr[:, 0]                          # static src x
+    left = xs < g.e_xyzr[:, 4]                   # static dst x
     side = jnp.where(left, 0, 1)
     seg = g.dst * 2 + side                       # (node, side) segment id
     n_seg = 2 * g.num_padded_nodes
     big = jnp.int32(n_seg)
     sort_seg = jnp.where(ok, seg, big)
     order = jnp.lexsort((xs, sort_seg))
-    s_seg = sort_seg[order]
-    s_x = xs[order]
+    packed = jnp.stack([sort_seg.astype(g.dtype), xs], axis=1)[order]
+    s_seg = packed[:, 0].astype(jnp.int32)
+    s_x = packed[:, 1]
     prev_same = jnp.concatenate([
         jnp.array([False]),
         (s_seg[1:] == s_seg[:-1]) & (s_x[1:] == s_x[:-1])])
     first = (s_seg < big) & ~prev_same
     counts = jax.ops.segment_sum(first.astype(g.dtype),
                                  jnp.minimum(s_seg, n_seg - 1), n_seg)
-    norms = jnp.where(ok, counts[seg], 1.0)
+    norms = jnp.where(ok, gtools.table_lookup(counts.reshape(-1, 2),
+                                              g.dst, side), 1.0)
     return jnp.maximum(norms, 1.0)
 
 
@@ -112,7 +117,9 @@ def reweight(g: GraphState, cfg: PipelineConfig) -> GraphState:
     wl = jnp.where(member, g.upd_weight * g.upd_likelihood, 0.0)
     denom = jax.ops.segment_sum(wl, g.dst, n)
     norms = _side_norms(g)
-    w_new = wl * g.upd_prior / jnp.maximum(denom[g.dst], 1e-300) / norms
+    denom_e = gtools.gather1d(denom, g.dst)
+    tiny = jnp.asarray(1e-300 if g.dtype == jnp.float64 else 1e-30, g.dtype)
+    w_new = wl * g.upd_prior / jnp.maximum(denom_e, tiny) / norms
     new_weight = jnp.where(member, w_new, g.upd_weight)
     drop = member & (w_new < cfg.reweight_threshold)
     return g.replace(upd_weight=new_weight, active=g.active & ~drop)

@@ -95,9 +95,9 @@ def seed_track_states(g: GraphState, cfg: PipelineConfig) -> GraphState:
     """Compute per-edge seed states for every directed edge, plus the
     per-node edge-gradient statistics (helper.py:446-447)."""
     dtype = g.dtype
-    xyzr = g.xyzr
-    sx, sy, sz, sr = (xyzr[g.src, i] for i in range(4))   # neighbour (tail)
-    dx_, dy_, dz_, dr_ = (xyzr[g.dst, i] for i in range(4))  # node (head)
+    # static pre-gathered endpoint coordinates (no dynamic gathers)
+    sx, sy, sz, sr = (g.e_xyzr[:, i] for i in range(4))       # neighbour (tail)
+    dx_, dy_, dz_, dr_ = (g.e_xyzr[:, 4 + i] for i in range(4))  # node (head)
 
     # --- local frame of the head node (helper.py:354-366) ---
     azimuth = jnp.arctan2(dy_, dx_)

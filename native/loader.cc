@@ -292,4 +292,19 @@ void gnn_get_truth(void* h, int64_t* hit_offsets, int64_t* hit_ids,
 
 void gnn_free(void* h) { delete static_cast<Event*>(h); }
 
+// Standalone union-find CCA over a masked directed edge list: label = min
+// node id of the weak component.  Used as the host-side fast path for the
+// per-iteration extraction CCA (the device label-propagation path needs
+// ~50 rounds of edge-sized ops; this is one linear pass).
+void gnn_cca(int64_t n, int64_t e, const int32_t* src, const int32_t* dst,
+             const uint8_t* ok, int32_t* labels) {
+  UnionFind uf(static_cast<int32_t>(n));
+  for (int64_t i = 0; i < e; ++i) {
+    if (ok[i]) uf.unite(src[i], dst[i]);
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    labels[i] = uf.find(static_cast<int32_t>(i));
+  }
+}
+
 }  // extern "C"

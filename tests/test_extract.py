@@ -62,7 +62,7 @@ def test_extraction_matches_oracle():
     pzr = np.asarray(res.pval_zr)
 
     dev_sets = {}
-    for c in range(g.n_nodes):
+    for c in range(len(accepted)):
         if accepted[c]:
             nodes = frozenset(int(x) for x in mat[c] if x >= 0)
             dev_sets[nodes] = (pxy[c], pzr[c])
