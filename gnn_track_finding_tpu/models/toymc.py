@@ -28,6 +28,33 @@ DEFAULT_LAYER_RADII = (60.0, 110.0, 170.0, 240.0, 320.0, 410.0, 510.0)
 
 
 @dataclasses.dataclass
+class GNNMeasurement:
+    """Hit measurement record — API-compatible with the reference's
+    GNN_Measurement (src/GNN_Measurement/GNN_Measurement.py:1-9)."""
+    x: float
+    y: float
+    z: float
+    r: float
+    truth_particle: int = -1
+    node: int = -1
+
+
+class HitPairPredictor:
+    """Straight-line hit-pair gate: extrapolate the segment through two
+    hits back to x=0 and accept when |y0 intercept| is inside the window
+    (src/toyMC_model/HitPairPredictor.py:10-16)."""
+
+    def __init__(self, start_x: float, y0_range: float):
+        self.start_x = start_x
+        self.y0_range = y0_range
+
+    def predict(self, m1: GNNMeasurement, m2: GNNMeasurement) -> bool:
+        slope = (m2.y - m1.y) / (m2.x - m1.x)
+        y0 = m1.y - slope * (m1.x - self.start_x)
+        return abs(y0) <= self.y0_range
+
+
+@dataclasses.dataclass
 class ToyEvent:
     xyzr: np.ndarray          # (n, 4)
     vivl: np.ndarray          # (n, 2) int (volume, layer)
@@ -98,6 +125,61 @@ def generate_event(
     vivl = np.stack([np.full(n, 7, np.int32), 2 * (layer + 1)], axis=1)
     return ToyEvent(xyzr=xyzr, vivl=vivl, truth=truth,
                     edge_pairs=edge_pairs, layer_radii=layer_radii)
+
+
+def generate_linear_event(
+    num_tracks: int = 10,
+    num_layers: int = 10,
+    seed: int = 0,
+    layer_spacing: float = 1.0,
+    start_x: float = 1.0,
+    sigma_y: float = 0.1,
+    max_slope: float = 0.5,
+    y0_range: float = 0.5,
+) -> ToyEvent:
+    """The reference's straight-track toy: tracks y = m x + c over
+    equally spaced x layers with Gaussian y smear and HitPairPredictor
+    edges (src/toyMC_model/track_simulation_xy.py:36-188,
+    learn_KL_linear_model/generate_training_data/generate_events.py:36-153).
+    Mapped into the framework's cylindrical schema with x as 'radius'."""
+    rng = np.random.default_rng(seed)
+    xs, ys, layers, tids = [], [], [], []
+    for t in range(num_tracks):
+        m = rng.uniform(-max_slope, max_slope)
+        c = rng.uniform(-y0_range / 2, y0_range / 2)
+        for li in range(num_layers):
+            x = start_x + li * layer_spacing
+            xs.append(x)
+            ys.append(m * x + c + rng.normal(0.0, sigma_y))
+            layers.append(li)
+            tids.append(t)
+    x = np.asarray(xs)
+    y = np.asarray(ys)
+    layer = np.asarray(layers, np.int32)
+    truth = np.asarray(tids, np.int64)
+    n = len(x)
+    perm = np.random.default_rng(seed + 1).permutation(n)
+    x, y, layer, truth = x[perm], y[perm], layer[perm], truth[perm]
+
+    predictor = HitPairPredictor(0.0, y0_range * 1.5)
+    pairs = []
+    for li in range(num_layers - 1):
+        for i in np.flatnonzero(layer == li):
+            for j in np.flatnonzero(layer == li + 1):
+                m1 = GNNMeasurement(x[i], y[i], 0.0, x[i])
+                m2 = GNNMeasurement(x[j], y[j], 0.0, x[j])
+                if predictor.predict(m1, m2):
+                    pairs.append((i, j))
+    edge_pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
+    # cylindrical schema: r := x, z := small proportional dip
+    r = x
+    z = 0.1 * x
+    xyzr = np.stack([x, y, z, r], axis=1)
+    vivl = np.stack([np.full(n, 7, np.int32), 2 * (layer + 1)], axis=1)
+    return ToyEvent(xyzr=xyzr, vivl=vivl, truth=truth,
+                    edge_pairs=edge_pairs,
+                    layer_radii=tuple(start_x + i * layer_spacing
+                                      for i in range(num_layers)))
 
 
 def to_networkx(ev: ToyEvent):

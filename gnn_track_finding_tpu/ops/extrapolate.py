@@ -74,10 +74,16 @@ def _jacobian_and_transport(a, b, c, x_A, sp, cp):
     return F
 
 
-def message_passing(g: GraphState, cfg: PipelineConfig) -> GraphState:
+def message_passing(g: GraphState, cfg: PipelineConfig,
+                    return_debug: bool = False):
     """One extrapolation round; returns the graph with per-edge updated
     states, chi2-failed edges deactivated, and (bug_compat) the tails'
-    merged covariances advanced by their accumulated var_ms."""
+    merged covariances advanced by their accumulated var_ms.
+
+    return_debug=True additionally returns (chi2, processed_mask) — the
+    optional off-critical-path analog of the reference's side-channel
+    chi2-vs-truth CSV appends (extrapolate_merged_states.py:284-295),
+    consumed by ops/metrics.chi2_truth_dump."""
     dtype = g.dtype
     nx_, ny_, nz_, nr_ = (g.e_xyzr[:, i] for i in range(4))      # tail
     mx_, my_, mz_, mr_ = (g.e_xyzr[:, 4 + i] for i in range(4))  # head
@@ -179,7 +185,7 @@ def message_passing(g: GraphState, cfg: PipelineConfig) -> GraphState:
     sel = passed
     sv_ = lambda new, old: jnp.where(sel[:, None], new, old)
     sm_ = lambda new, old: jnp.where(sel[:, None, None], new, old)
-    return g.replace(
+    out = g.replace(
         merged_cov=new_merged_cov,
         active=g.active & ~failed,
         has_updated=g.has_updated | sel,
@@ -190,3 +196,6 @@ def message_passing(g: GraphState, cfg: PipelineConfig) -> GraphState:
         upd_weight=jnp.where(sel, w, g.upd_weight),
         upd_likelihood=jnp.where(sel, likelihood, g.upd_likelihood),
     )
+    if return_debug:
+        return out, (chi2, proc)
+    return out

@@ -62,3 +62,26 @@ def stack_events(graphs) -> GraphState:
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
     return stacked.replace(n_nodes=g0.n_nodes, n_edges=g0.n_edges,
                            max_degree=g0.max_degree, n_layers=g0.n_layers)
+
+
+def run_batched(graphs, cfg, mesh: Optional[Mesh] = None):
+    """Run the full pipeline over a pileup batch of events, sharded over
+    the device mesh (event batch -> "data", arrays -> "edge").
+
+    Returns (final stacked GraphState, accepted (B, I, C), cand_nodes
+    (B, I, C, H)) — the data-parallel production entry point; per-event
+    results are bit-identical to single-device runs
+    (tests/test_parallel.py).
+    """
+    from gnn_track_finding_tpu.models import pipeline
+
+    mesh = mesh or make_mesh()
+    batch = stack_events(graphs)
+    batch = shard_batched_graph(batch, mesh)
+    shardings = batched_graph_sharding(batch, mesh)
+
+    def step(graph):
+        return jax.vmap(lambda gg: pipeline.full_pipeline(gg, cfg))(graph)
+
+    step_jit = jax.jit(step, in_shardings=(shardings,))
+    return step_jit(batch)

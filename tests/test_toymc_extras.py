@@ -1,0 +1,46 @@
+import numpy as np
+import jax.numpy as jnp
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.build import build_graph_state
+from gnn_track_finding_tpu.models import toymc, pipeline
+from gnn_track_finding_tpu.ops import extrapolate, metrics
+from gnn_track_finding_tpu.analysis import stats_harness
+
+CFG = PipelineConfig(node_bucket=64, edge_bucket=256)
+
+
+def test_linear_toy_event_pipeline():
+    ev = toymc.generate_linear_event(num_tracks=6, seed=4)
+    assert ev.edge_pairs.shape[0] > 0
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    out = pipeline.run_pipeline(g, CFG)
+    assert out.graph.n_nodes == ev.xyzr.shape[0]
+
+
+def test_hit_pair_predictor():
+    p = toymc.HitPairPredictor(0.0, 0.5)
+    m1 = toymc.GNNMeasurement(1.0, 0.1, 0.0, 1.0)
+    m2 = toymc.GNNMeasurement(2.0, 0.2, 0.0, 2.0)     # y0 = 0 -> accept
+    assert p.predict(m1, m2)
+    m3 = toymc.GNNMeasurement(2.0, 5.0, 0.0, 2.0)     # steep -> |y0| large
+    assert not p.predict(m1, m3)
+
+
+def test_chi2_debug_stream():
+    ev = toymc.generate_event(seed=11, num_tracks=16, edge_dphi_window=0.12)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    g = pipeline._prepare_jit(g, CFG)
+    g = pipeline.cluster_stage(g, CFG, use_updated=False)
+    g2, (chi2, proc) = extrapolate.message_passing(g, CFG, return_debug=True)
+    truth, vals = metrics.chi2_truth_dump(g, chi2, proc)
+    assert len(truth) == len(vals) == int(np.asarray(proc).sum())
+    assert set(np.unique(truth)) <= {0, 1}
+
+
+def test_stats_harness_small():
+    res = stats_harness.accumulate_pvals(num_runs=3, seed=0, cfg=CFG,
+                                         num_tracks=8)
+    assert (res["pvals_xy"] >= CFG.track_acceptance_pval - 1e-12).all()
+    u = stats_harness.uniformity_check(res["pvals_xy"])
+    assert "pvalue" in u
