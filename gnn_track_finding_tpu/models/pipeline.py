@@ -95,6 +95,18 @@ def iteration(g: GraphState, cfg: PipelineConfig, i: int, kl_thresholds=None
     return extract_step(g, cfg, i)
 
 
+def reset_reactivate(g: GraphState, cfg: PipelineConfig) -> GraphState:
+    """Brute-force reset of a remaining network (clustering.py:126-146,
+    '-r' CLI flag): drop merged and updated states, reactivate every
+    surviving edge, re-seed states and recompute priors/weights."""
+    import jax.numpy as jnp
+    g = g.replace(
+        has_merged=jnp.zeros_like(g.has_merged),
+        has_updated=jnp.zeros_like(g.has_updated),
+    )
+    return prepare(g, cfg)
+
+
 @dataclasses.dataclass
 class Candidate:
     nodes: np.ndarray      # original-graph node indices
