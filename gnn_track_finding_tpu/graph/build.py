@@ -177,6 +177,9 @@ def build_graph_state(
         e_xyzr=jnp.asarray(
             pade(np.concatenate([xyzr[src], xyzr[dst]], axis=1)), dtype),
         e_src_layer=jnp.asarray(pade(layer_idx[src])),
+        out_head_xyzr=jnp.asarray(
+            padn(np.where((out_tab >= 0)[..., None],
+                          xyzr[dst[np.maximum(out_tab, 0)]], 0.0)), dtype),
     )
     host = HostEvent(
         node_ids=(host_extra or {}).get("node_ids", np.arange(n)),

@@ -96,6 +96,11 @@ class GraphState:
     # tables (1-element gathers are pathologically slow on TPU).
     e_xyzr: jax.Array         # (E, 8)
     e_src_layer: jax.Array    # (E,) int32 dense layer index of the tail
+    # static head (dst) coordinates of each out-table slot: TPU gathers
+    # read whole 4KB tiles, so computing per-slot quantities from this
+    # cache instead of gathering (E,)-arrays through the table turns tens
+    # of GB of gather traffic into zero (docs/DESIGN.md).
+    out_head_xyzr: jax.Array  # (N, K, 4)
 
     @property
     def num_padded_nodes(self) -> int:
@@ -136,4 +141,5 @@ def blank_state(n_pad: int, e_pad: int, k: int, n_layers: int,
         out_edges=jnp.full((n_pad, k), -1, jnp.int32),
         slot_in=i(e_pad), slot_out=i(e_pad),
         e_xyzr=f(e_pad, 8), e_src_layer=i(e_pad),
+        out_head_xyzr=f(n_pad, k, 4),
     )

@@ -37,13 +37,24 @@ from gnn_track_finding_tpu.ops import gtools, linalg
 KC = 16  # compact table width == reference's upper degree gate
 
 
-def _compact_member_edges(g: GraphState, member: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def _member_slots(g: GraphState, member: jax.Array) -> jax.Array:
+    """(N, K) membership flags of the in-edge table, built by SCATTER from
+    the edge axis (scatters are tile-efficient on TPU; gathering the (E,)
+    member flags through the table would read a 4KB tile per slot)."""
+    tab = g.in_edges
+    slots = jnp.zeros(tab.shape, bool).at[g.dst, g.slot_in].max(
+        member & g.edge_mask)
+    return slots & (tab >= 0)
+
+
+def _compact_member_edges(g: GraphState, member_slot: jax.Array
+                          ) -> Tuple[jax.Array, jax.Array]:
     """First KC member in-edges per node, in insertion order.
 
     Returns (edge_idx (N, KC) int32 with -1 padding, member_count (N,)).
     """
     tab = g.in_edges                      # (N, K)
-    valid = (tab >= 0) & gtools.gather1d(member, jnp.maximum(tab, 0))
+    valid = member_slot
     order = jnp.argsort(~valid, axis=1, stable=True)
     sorted_tab = jnp.take_along_axis(tab, order, axis=1)
     sorted_valid = jnp.take_along_axis(valid, order, axis=1)
@@ -120,18 +131,28 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     """
     dtype = g.dtype
     member = (g.has_updated if use_updated else g.edge_mask) & g.edge_mask
-    tab, count = _compact_member_edges(g, member)
+    member_slot = _member_slots(g, member)
+    tab, count = _compact_member_edges(g, member_slot)
     valid = tab >= 0
     e = jnp.maximum(tab, 0)
 
+    # single packed row gather for all per-edge state (one ~4KB tile read
+    # per slot instead of six): [p_sv(3) | p_cov(9) | j_sv(3) | j_cov(9) |
+    # prior(1)]
     if use_updated:
-        p_sv, p_cov = g.upd_sv[e], g.upd_cov[e]
-        j_sv, j_cov = g.upd_joint[e], g.upd_joint_cov[e]
-        prior = gtools.gather1d(g.upd_prior, e)
+        packed = jnp.concatenate([
+            g.upd_sv, g.upd_cov.reshape(-1, 9), g.upd_joint,
+            g.upd_joint_cov.reshape(-1, 9), g.upd_prior[:, None]], axis=1)
     else:
-        p_sv, p_cov = g.seed_sv[e], g.seed_cov[e]
-        j_sv, j_cov = g.seed_joint[e], g.seed_joint_cov[e]
-        prior = gtools.gather1d(g.seed_prior, e)
+        packed = jnp.concatenate([
+            g.seed_sv, g.seed_cov.reshape(-1, 9), g.seed_joint,
+            g.seed_joint_cov.reshape(-1, 9), g.seed_prior[:, None]], axis=1)
+    pk = packed[e]                                  # (N, KC, 25)
+    p_sv = pk[..., 0:3]
+    p_cov = pk[..., 3:12].reshape(*e.shape, 3, 3)
+    j_sv = pk[..., 12:15]
+    j_cov = pk[..., 15:24].reshape(*e.shape, 3, 3)
+    prior = pk[..., 24]
 
     eye = jnp.eye(3, dtype=dtype)
     safe = lambda c: jnp.where(valid[:, :, None, None], c, eye)
@@ -202,9 +223,7 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     # in-edges (gather via slot_in, no scatter): the compact table position
     # of a member edge equals that rank (stable compaction).
     deact_slot = remaining & found[:, None]              # (N, KC)
-    tab_member = (g.in_edges >= 0) & gtools.gather1d(
-        member, jnp.maximum(g.in_edges, 0))
-    rank_slot = jnp.cumsum(tab_member, axis=1) - 1       # (N, K)
+    rank_slot = jnp.cumsum(member_slot, axis=1) - 1      # (N, K)
     rank_e = gtools.table_lookup(rank_slot, g.dst, g.slot_in)
     in_compact = member & (rank_e >= 0) & (rank_e < KC)
     deact = in_compact & gtools.table_lookup(

@@ -112,13 +112,30 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
     var_ms = jnp.where(proc, var_ms, 0.0)
 
     # --- cumulative in-place merged_cov mutation (ref :127-128) ---
-    otab = g.out_edges
-    oe = jnp.maximum(otab, 0)
-    slot_ms = jnp.where(otab >= 0, gtools.gather1d(var_ms, oe), 0.0)
-    cum = jnp.cumsum(slot_ms, axis=1)          # inclusive
     if cfg.bug_compat:
-        # edge e reads its own inclusive prefix back via its out-slot:
-        # row gather + take_along (two-index gathers lower worse)
+        # var_ms recomputed in OUT-TABLE layout from the static head-coord
+        # cache + node-local merged state: zero dynamic gathers (gathering
+        # the (E,) var_ms through the table costs a 4KB tile per lookup =
+        # ~32 GB of traffic; see docs/DESIGN.md).  The active flags arrive
+        # by scatter, which IS tile-efficient on TPU.
+        otab = g.out_edges
+        proc_slot = jnp.zeros(otab.shape, bool).at[g.src, g.slot_out].max(
+            g.edge_mask & g.active)
+        proc_slot = proc_slot & g.has_merged[:, None] & (otab >= 0)
+        head = g.out_head_xyzr                      # (N, K, 4) static
+        node_xyzr = g.xyzr
+        a_n = g.merged_state[:, 0:1]
+        b_n = g.merged_state[:, 1:2]
+        dr_t = head[..., 3] - node_xyzr[:, 3:4]
+        dz_t = head[..., 2] - node_xyzr[:, 2:3]
+        hyp_t = jnp.sqrt(dr_t * dr_t + dz_t * dz_t)
+        sin_t_t = jnp.abs(dr_t) / jnp.maximum(hyp_t, 1e-300)
+        kappa_t = (2.0 * a_n) / (1.0 + (2.0 * a_n * head[..., 0] + b_n) ** 2) ** 1.5
+        vms_t = sin_t_t * cfg.ms_coefficient() * kappa_t * kappa_t
+        endcap_t = jnp.abs(node_xyzr[:, 2:3]) >= cfg.endcap_boundary
+        vms_t = jnp.where(endcap_t, vms_t * jnp.abs(dr_t) / jnp.abs(dz_t), vms_t)
+        slot_ms = jnp.where(proc_slot, vms_t, 0.0)
+        cum = jnp.cumsum(slot_ms, axis=1)          # inclusive
         cum_e = jnp.take_along_axis(cum[g.src], g.slot_out[:, None], 1)[:, 0]
         total_ms = cum[:, -1]
         new_merged_cov = g.merged_cov.at[:, 1, 1].add(
