@@ -180,6 +180,9 @@ def build_graph_state(
         out_head_xyzr=jnp.asarray(
             padn(np.where((out_tab >= 0)[..., None],
                           xyzr[dst[np.maximum(out_tab, 0)]], 0.0)), dtype),
+        in_src_x=jnp.asarray(
+            padn(np.where(in_tab >= 0,
+                          xyzr[src[np.maximum(in_tab, 0)], 0], 0.0)), dtype),
     )
     host = HostEvent(
         node_ids=(host_extra or {}).get("node_ids", np.arange(n)),

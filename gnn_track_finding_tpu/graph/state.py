@@ -101,6 +101,9 @@ class GraphState:
     # cache instead of gathering (E,)-arrays through the table turns tens
     # of GB of gather traffic into zero (docs/DESIGN.md).
     out_head_xyzr: jax.Array  # (N, K, 4)
+    # static tail (src) x coordinate of each in-table slot (reweight's
+    # side-norm distinct-count runs as row sorts over this cache)
+    in_src_x: jax.Array       # (N, K)
 
     @property
     def num_padded_nodes(self) -> int:
@@ -142,4 +145,5 @@ def blank_state(n_pad: int, e_pad: int, k: int, n_layers: int,
         slot_in=i(e_pad), slot_out=i(e_pad),
         e_xyzr=f(e_pad, 8), e_src_layer=i(e_pad),
         out_head_xyzr=f(n_pad, k, 4),
+        in_src_x=f(n_pad, k),
     )

@@ -88,23 +88,27 @@ def _side_norms(g: GraphState) -> jax.Array:
     ok = g.has_updated & g.active & g.edge_mask
     xs = g.e_xyzr[:, 0]                          # static src x
     left = xs < g.e_xyzr[:, 4]                   # static dst x
+
+    # slot-space distinct-count: ok flags scatter into the in-table, the
+    # static per-slot src-x cache is row-sorted per side, and distinct
+    # values are counted from neighbour differences — no global sorts.
+    ok_slot = jnp.zeros(g.in_edges.shape, bool).at[g.dst, g.slot_in].max(ok)
+    left_slot = g.in_src_x < g.xyzr[:, 0:1]
+    inf = jnp.asarray(jnp.inf, g.dtype)
+
+    def distinct(side_mask):
+        vals = jnp.where(ok_slot & side_mask, g.in_src_x, inf)
+        s = jnp.sort(vals, axis=1)
+        fin = jnp.isfinite(s)
+        newval = jnp.concatenate(
+            [fin[:, :1], fin[:, 1:] & (s[:, 1:] != s[:, :-1])], axis=1)
+        return jnp.sum(newval, axis=1).astype(g.dtype)
+
+    n_left = distinct(left_slot)
+    n_right = distinct(~left_slot)
+    counts = jnp.stack([n_left, n_right], axis=1)     # (N, 2)
     side = jnp.where(left, 0, 1)
-    seg = g.dst * 2 + side                       # (node, side) segment id
-    n_seg = 2 * g.num_padded_nodes
-    big = jnp.int32(n_seg)
-    sort_seg = jnp.where(ok, seg, big)
-    order = jnp.lexsort((xs, sort_seg))
-    packed = jnp.stack([sort_seg.astype(g.dtype), xs], axis=1)[order]
-    s_seg = packed[:, 0].astype(jnp.int32)
-    s_x = packed[:, 1]
-    prev_same = jnp.concatenate([
-        jnp.array([False]),
-        (s_seg[1:] == s_seg[:-1]) & (s_x[1:] == s_x[:-1])])
-    first = (s_seg < big) & ~prev_same
-    counts = jax.ops.segment_sum(first.astype(g.dtype),
-                                 jnp.minimum(s_seg, n_seg - 1), n_seg)
-    norms = jnp.where(ok, gtools.table_lookup(counts.reshape(-1, 2),
-                                              g.dst, side), 1.0)
+    norms = jnp.where(ok, gtools.table_lookup(counts, g.dst, side), 1.0)
     return jnp.maximum(norms, 1.0)
 
 
