@@ -119,7 +119,7 @@ def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, tab: jax.Array,
 
 
 def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
-            kl_thresholds=None) -> GraphState:
+            kl_thresholds=None, backend: str = "xla") -> GraphState:
     """One GMR clustering round over the whole graph.
 
     kl_thresholds: optional per-node (N,) KL acceptance thresholds from the
@@ -128,6 +128,11 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     thresholds commented out in clustering_updated_states_test.py:176,233);
     passing them here enables the intended feature.  None -> the global
     scalar threshold from the config (run_gnn_trackml_mod.sh:89,112).
+
+    backend: "xla" (masked batched ops + lax.scan) or "pallas" (the
+    VMEM-resident kernel in ops/pallas_cluster.py; same numerics,
+    asserted equal in tests).  "pallas_interpret" runs the kernel in
+    interpreter mode (CPU testing).
     """
     dtype = g.dtype
     member = (g.has_updated if use_updated else g.edge_mask) & g.edge_mask
@@ -154,15 +159,39 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     j_cov = pk[..., 15:24].reshape(*e.shape, 3, 3)
     prior = pk[..., 24]
 
+    gate = (count > cfg.cluster_min_edges - 1) & (count < cfg.cluster_max_edges + 1)
+
+    chi2_thr, kl_thr_scalar = cfg.cluster_thresholds(use_updated)
+    kl_thr = kl_thr_scalar if kl_thresholds is None else kl_thresholds
+
+    if backend in ("pallas", "pallas_interpret"):
+        from gnn_track_finding_tpu.ops import pallas_cluster
+        n = g.num_padded_nodes
+        t = lambda x, r: jnp.moveaxis(x, 0, -1).reshape(r, n)
+        nb_xyzr = g.e_xyzr[e][..., :4]
+        klthr_arr = jnp.broadcast_to(
+            jnp.asarray(kl_thr, dtype), (n,))[None, :]
+        found_i, pm_t, pc_t, mprior_t, deact_t = pallas_cluster.cluster_tile(
+            cfg, float(chi2_thr),
+            t(j_sv, 3 * KC), t(j_cov.reshape(n, KC, 9), 9 * KC),
+            t(p_sv, 3 * KC), t(p_cov.reshape(n, KC, 9), 9 * KC),
+            t(prior[..., None], KC), t(valid[..., None].astype(jnp.int32), KC),
+            t(nb_xyzr, 4 * KC), g.xyzr.T.astype(dtype),
+            gate.astype(jnp.int32)[None, :], klthr_arr,
+            interpret=(backend == "pallas_interpret"))
+        found = found_i[0] > 0
+        pm = pm_t.T
+        pc = pc_t.T.reshape(n, 3, 3)
+        mprior = mprior_t[0]
+        remaining = deact_t.T > 0
+        return _apply_cluster_results(g, cfg, member_slot, found, pm, pc,
+                                      mprior, remaining)
+
     eye = jnp.eye(3, dtype=dtype)
     safe = lambda c: jnp.where(valid[:, :, None, None], c, eye)
     p_cov = safe(p_cov)
     j_cov = safe(j_cov)
 
-    gate = (count > cfg.cluster_min_edges - 1) & (count < cfg.cluster_max_edges + 1)
-
-    chi2_thr, kl_thr_scalar = cfg.cluster_thresholds(use_updated)
-    kl_thr = kl_thr_scalar if kl_thresholds is None else kl_thresholds
     chi2 = _pairwise_chi2(g, cfg, tab, valid, j_sv, j_cov)
     # min over nonzero entries (clustering.py:119-120)
     chi2 = jnp.where(chi2 == 0.0, jnp.inf, chi2)
@@ -212,20 +241,29 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     (pm, pc, jm, jc, mprior, remaining, _), _ = jax.lax.scan(
         step, init, None, length=KC - 2)
 
-    # write merged state on nodes where clustering succeeded
+    deact_slot = remaining & found[:, None]              # (N, KC)
+    return _apply_cluster_results(g, cfg, member_slot, found, pm, pc,
+                                  mprior, deact_slot)
+
+
+def _apply_cluster_results(g: GraphState, cfg: PipelineConfig,
+                           member_slot, found, pm, pc, mprior, deact_slot
+                           ) -> GraphState:
+    """Write merged states and apply the simultaneous edge deactivation.
+
+    Each member edge reads its verdict back through its rank among the
+    head's member in-edges (gather via slot_in, no scatter): the compact
+    table position of a member edge equals that rank (stable compaction).
+    """
     has_merged = g.has_merged | found
     merged_state = jnp.where(found[:, None], pm, g.merged_state)
     merged_cov = jnp.where(found[:, None, None], pc, g.merged_cov)
     merged_prior = jnp.where(found, mprior, g.merged_prior)
 
-    # simultaneous deactivation of unabsorbed in-edges.  Each member edge
-    # reads its verdict back through its rank among the head's member
-    # in-edges (gather via slot_in, no scatter): the compact table position
-    # of a member edge equals that rank (stable compaction).
-    deact_slot = remaining & found[:, None]              # (N, KC)
+    member_e = gtools.table_lookup(member_slot, g.dst, g.slot_in)
     rank_slot = jnp.cumsum(member_slot, axis=1) - 1      # (N, K)
     rank_e = gtools.table_lookup(rank_slot, g.dst, g.slot_in)
-    in_compact = member & (rank_e >= 0) & (rank_e < KC)
+    in_compact = member_e & (rank_e >= 0) & (rank_e < KC)
     deact = in_compact & gtools.table_lookup(
         deact_slot, g.dst, jnp.clip(rank_e, 0, KC - 1))
     deact = deact & g.edge_mask
