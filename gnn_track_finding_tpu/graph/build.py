@@ -126,6 +126,35 @@ def build_graph_state(
     in_tab, slot_in = edge_table(dst)
     out_tab, slot_out = edge_table(src)
 
+    # mirror edge per directed edge (reference tau-pairing defect,
+    # helper.py:349-429): for each node, the neighbour iteration order is
+    # Python set() order over ORIGINAL node ids inserted predecessors-
+    # then-successors (set(nx.all_neighbors(G, node)) in the reference);
+    # the k-th neighbour's seed state borrows tau from neighbour d-1-k.
+    orig_ids = (host_extra or {}).get("node_ids")
+    if orig_ids is None:
+        orig_ids = np.arange(n, dtype=np.int64)
+    orig_of = np.asarray(orig_ids, np.int64)
+    dense_of = {int(o): i for i, o in enumerate(orig_of)}
+    mirror = np.arange(e, dtype=np.int32)
+    for node in range(n):
+        preds = [src[ei] for ei in in_tab[node] if ei >= 0]
+        succs = [dst[ei] for ei in out_tab[node] if ei >= 0]
+        # genuine Python set(): iteration order for ints is hash-table
+        # order given the same insertion sequence — matches the reference
+        ordered = list(set(int(orig_of[v]) for v in preds + succs))
+        d = len(ordered)
+        if d < 2:
+            continue
+        in_edge_of = {int(src[ei]): ei for ei in in_tab[node] if ei >= 0}
+        for k_pos, oid in enumerate(ordered):
+            a_ = dense_of[oid]
+            b_ = dense_of[ordered[d - 1 - k_pos]]
+            ea = in_edge_of.get(a_)
+            eb = in_edge_of.get(b_)
+            if ea is not None and eb is not None:
+                mirror[ea] = eb
+
     # -- pad to buckets --
     n_pad = _round_up(max(n, 1), cfg.node_bucket)
     e_pad = _round_up(max(e, 1), cfg.edge_bucket)
@@ -183,6 +212,7 @@ def build_graph_state(
         in_src_x=jnp.asarray(
             padn(np.where(in_tab >= 0,
                           xyzr[src[np.maximum(in_tab, 0)], 0], 0.0)), dtype),
+        mirror=jnp.asarray(pade(mirror)),
     )
     host = HostEvent(
         node_ids=(host_extra or {}).get("node_ids", np.arange(n)),

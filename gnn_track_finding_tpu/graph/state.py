@@ -104,6 +104,13 @@ class GraphState:
     # static tail (src) x coordinate of each in-table slot (reweight's
     # side-norm distinct-count runs as row sorts over this cache)
     in_src_x: jax.Array       # (N, K)
+    # static mirror edge for the reference's tau/parabola pairing defect:
+    # helper.py:349-375 reverses coords/keys but indexes the tau/theta
+    # lists with the un-reversed loop variable, so the seed state of the
+    # k-th neighbour (in Python-set iteration order over ORIGINAL node
+    # ids) carries the tau of neighbour d-1-k.  mirror[e] is that donor
+    # edge; bug_compat seeding reads tau quantities through it.
+    mirror: jax.Array         # (E,) int32
 
     @property
     def num_padded_nodes(self) -> int:
@@ -146,4 +153,5 @@ def blank_state(n_pad: int, e_pad: int, k: int, n_layers: int,
         e_xyzr=f(e_pad, 8), e_src_layer=i(e_pad),
         out_head_xyzr=f(n_pad, k, 4),
         in_src_x=f(n_pad, k),
+        mirror=i(e_pad),
     )

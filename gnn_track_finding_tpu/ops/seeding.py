@@ -135,6 +135,14 @@ def seed_track_states(g: GraphState, cfg: PipelineConfig) -> GraphState:
     tau = (sz - dz_) / (sr - dr_)
     var_tau = tau_variance((dz_, dr_), (sz, sr), cfg)
     if cfg.bug_compat:
+        # tau-pairing defect (helper.py:349-429): the reversed coords/keys
+        # loop indexes the tau/variance lists with the un-reversed order,
+        # so each edge carries the MIRROR neighbour's tau and tau variance
+        # (mirror computed at build in the reference's set() order);
+        # var_ms stays the edge's own (helper.py:425).
+        donor = jnp.stack([tau, var_tau], axis=1)[g.mirror]
+        tau = donor[:, 0]
+        var_tau = donor[:, 1]
         var_tau_eff = var_tau * var_tau + var_ms  # helper.py:421 squares it
     else:
         var_tau_eff = var_tau + var_ms

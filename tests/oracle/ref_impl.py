@@ -69,7 +69,13 @@ def rz_sigmas(z, cfg):
 # --------------------------------------------------------------------------
 
 def seed_states(G, cfg, neighbour_order=None):
-    """Attach 'track_state_estimates' and gradient stats to every node."""
+    """Attach 'track_state_estimates' and gradient stats to every node.
+
+    Mirrored tau pairing (helper.py:349-429): the reference reverses
+    coords/keys between its two loops but indexes the tau/theta lists with
+    the un-reversed variable, so neighbour k (in set() iteration order)
+    receives the tau and tau-variance of neighbour d-1-k.
+    """
     S = np.diag([cfg.sigma_O ** 2, cfg.sigma0xy ** 2, cfg.sigma0xy ** 2])
     for node in G.nodes():
         nx_, ny_, nz_, nr_ = G.nodes[node]["xyzr"]
@@ -77,6 +83,22 @@ def seed_states(G, cfg, neighbour_order=None):
             nbs = neighbour_order(G, node)
         else:
             nbs = sorted(set(list(G.predecessors(node)) + list(G.successors(node))))
+        # mirror map in the reference's genuine set() iteration order
+        set_order = list(set(list(G.predecessors(node))
+                             + list(G.successors(node))))
+        d_ = len(set_order)
+        mirror_of = {set_order[k]: set_order[d_ - 1 - k] for k in range(d_)}
+
+        def tau_and_var(nb):
+            bx, by, bz, br = G.nodes[nb]["xyzr"]
+            t = (bz - nz_) / (br - nr_)
+            sz1, sr1 = rz_sigmas(nz_, cfg)
+            sz2, sr2 = rz_sigmas(bz, cfg)
+            inv_dr = 1.0 / (nr_ - br)
+            jv = np.array([inv_dr, -inv_dr,
+                           -(nz_ - bz) * inv_dr ** 2, (nz_ - bz) * inv_dr ** 2])
+            s2 = np.diag([sz1 ** 2, sz2 ** 2, sr1 ** 2, sr2 ** 2])
+            return t, jv @ s2 @ jv
         azimuth = math.atan2(ny_, nx_)
         ca, sa = np.cos(azimuth), np.sin(azimuth)
         x_0 = (0.0 - nx_) * ca + (0.0 - ny_) * sa
@@ -108,16 +130,11 @@ def seed_states(G, cfg, neighbour_order=None):
                 var_ms *= abs(dr / dz)
             cov[1, 1] += var_ms
 
-            # tau variance (helper.py:316-331); subscript 1 = node, 2 = nb
-            sz1, sr1 = rz_sigmas(nz_, cfg)
-            sz2, sr2 = rz_sigmas(bz, cfg)
-            inv_dr = 1.0 / (nr_ - br)
-            j = np.array([inv_dr, -inv_dr,
-                          -(nz_ - bz) * inv_dr ** 2, (nz_ - bz) * inv_dr ** 2])
-            s2 = np.diag([sz1 ** 2, sz2 ** 2, sr1 ** 2, sr2 ** 2])
-            var_tau = j @ s2 @ j
+            # mirrored tau pairing (helper.py:419-421): tau and its variance
+            # come from the mirror neighbour; var_ms stays this edge's own
+            tau_m, var_tau = tau_and_var(mirror_of[nb])
 
-            joint = np.array([a, b, tau])
+            joint = np.array([a, b, tau_m])
             # helper.py:421-425: squared var_tau, aliased covariance
             joint_cov = cov              # ALIAS — mutations hit cov too
             joint_cov[:, 2] = 0.0
