@@ -122,6 +122,42 @@ def main() -> None:
               f"merged values allclose: {m_val_ok}/{n_ref_merged} "
               f"({100.0 * m_val_ok / max(n_ref_merged, 1):.3f}%)")
 
+    # ---- updated-state comparison (extrapolation iteration 2 output) ----
+    extr_dir = os.path.join(ref_root, "iteration_2", "network")
+    if os.path.isdir(extr_dir):
+        g2, _ = pipeline._iteration_jit(g1, cfg, 2, None)
+        has_u = np.asarray(g2.has_updated)
+        usv = np.asarray(g2.upd_sv)
+        ujoint = np.asarray(g2.upd_joint)
+        u_cmp = u_flag = u_val = u_joint = 0
+        for G in load_ref_graphs(extr_dir):
+            for node, attr in G.nodes(data=True):
+                d = remap.get(int(node))
+                if d is None:
+                    continue
+                upd = attr.get("updated_track_states", {})
+                for snd, st in upd.items():
+                    s = remap.get(int(snd))
+                    if s is None:
+                        continue
+                    e = edge_index.get((s, d))
+                    if e is None:
+                        continue
+                    u_cmp += 1
+                    if has_u[e]:
+                        u_flag += 1
+                        if np.allclose(usv[e], st["edge_state_vector"],
+                                       rtol=1e-6, atol=1e-10):
+                            u_val += 1
+                        if np.allclose(ujoint[e], st["joint_vector"],
+                                       rtol=1e-6, atol=1e-10):
+                            u_joint += 1
+        print(f"[extrap2] updated states compared: {u_cmp}, present here: "
+              f"{u_flag} ({100.0 * u_flag / max(u_cmp, 1):.3f}%), values "
+              f"allclose: {u_val} ({100.0 * u_val / max(u_cmp, 1):.3f}%), "
+              f"joint allclose: {u_joint} "
+              f"({100.0 * u_joint / max(u_cmp, 1):.3f}%)")
+
 
 if __name__ == "__main__":
     main()
