@@ -33,7 +33,9 @@ def make_mesh(shape: Optional[Tuple[int, int]] = None,
     if shape is None:
         data = 2 if n % 2 == 0 and n > 1 else 1
         shape = (data, n // data)
-    mesh_devices = np.asarray(devices).reshape(shape)
+    need = shape[0] * shape[1]
+    assert need <= n, (shape, n)
+    mesh_devices = np.asarray(devices[:need]).reshape(shape)
     return Mesh(mesh_devices, ("data", "edge"))
 
 
