@@ -24,6 +24,18 @@ def test_clean_mode_runs_and_is_healthy():
     assert len(out.candidates) > 0
 
 
+def test_five_iteration_schedule():
+    """The schedule generalises beyond 3 iterations: odd>1 cluster on
+    updated states, even extrapolate (run_gnn_trackml_mod.sh:71-148)."""
+    cfg = dataclasses.replace(CFG, num_iterations=5)
+    ev = toymc.generate_event(seed=11, num_tracks=16, edge_dphi_window=0.12)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, cfg)
+    out = pipeline.run_pipeline(g, cfg)
+    assert len(out.per_iteration) == 5
+    checks = guards.check_state(out.graph, strict=True)
+    assert all(checks.values())
+
+
 def test_f32_pipeline_close_to_f64():
     ev = toymc.generate_event(seed=11, num_tracks=16, edge_dphi_window=0.12)
     g64, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
