@@ -28,6 +28,10 @@ def main() -> None:
     parser.add_argument("--volumes", type=int, nargs=2, default=None,
                         metavar=("MIN", "MAX"),
                         help="volume range (default: config 7 7)")
+    parser.add_argument("--calibrate", action="store_true",
+                        help="fit a KL-threshold LUT on toy events and use "
+                             "it in clustering (the reference's dead LUT "
+                             "feature, wired)")
     parser.add_argument("--json", action="store_true",
                         help="emit one JSON summary line")
     args = parser.parse_args()
@@ -66,8 +70,23 @@ def main() -> None:
           f"K={g.max_degree}, padded ({g.num_padded_nodes}, "
           f"{g.num_padded_edges}) in {t_load:.1f}s")
 
+    kl_thresholds = None
+    if args.calibrate:
+        from gnn_track_finding_tpu.calib import lut, training_data
+        t0 = time.time()
+        rows = training_data.generate_training_data(num_events=20, seed=0)
+        table = lut.fit_lut_quantile(rows, feature="emp_var")
+        import numpy as _np
+        feat = _np.asarray(
+            pipeline._prepare_jit(g, cfg).grad_stats)[:, 1]
+        kl_thresholds = jnp.asarray(table.thresholds_for(feat), g.dtype)
+        print(f"[calib] quantile LUT fit on {rows.shape[0]} pairs in "
+              f"{time.time() - t0:.1f}s; thresholds "
+              f"[{float(kl_thresholds.min()):.3g}, "
+              f"{float(kl_thresholds.max()):.3g}]")
+
     t0 = time.time()
-    out = pipeline.run_pipeline(g, cfg)
+    out = pipeline.run_pipeline(g, cfg, kl_thresholds=kl_thresholds)
     t_pipe = time.time() - t0
     print(f"[pipeline] {len(out.candidates)} candidates in {t_pipe:.1f}s "
           f"({g.n_edges * cfg.num_iterations / t_pipe:.0f} edges/s/iter avg)")
