@@ -9,7 +9,6 @@ fed from in-memory pipeline results instead of per-iteration CSV relays.
 from __future__ import annotations
 
 import os
-from typing import Sequence
 
 import numpy as np
 

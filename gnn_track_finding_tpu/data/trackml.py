@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 
 from gnn_track_finding_tpu.config import PipelineConfig
-from gnn_track_finding_tpu.graph.build import HostEvent, build_graph_state
+from gnn_track_finding_tpu.graph.build import build_graph_state
 
 
 @dataclasses.dataclass

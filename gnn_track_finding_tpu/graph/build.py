@@ -13,7 +13,7 @@ recompile only across bucket boundaries.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 import jax.numpy as jnp

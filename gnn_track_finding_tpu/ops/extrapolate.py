@@ -29,12 +29,11 @@ pure transport (F applied once), and the covariances are separate.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from gnn_track_finding_tpu.config import PipelineConfig
 from gnn_track_finding_tpu.graph.state import GraphState
-from gnn_track_finding_tpu.ops import gtools, linalg
+from gnn_track_finding_tpu.ops import linalg
 from gnn_track_finding_tpu.ops.seeding import rz_sigmas
 
 

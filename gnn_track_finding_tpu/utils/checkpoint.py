@@ -14,7 +14,6 @@ import json
 import os
 from typing import List, Optional, Tuple
 
-import jax
 import numpy as np
 
 from gnn_track_finding_tpu.graph.state import GraphState
