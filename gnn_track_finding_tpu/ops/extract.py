@@ -32,6 +32,7 @@ from jax.scipy.special import gammaincc
 from gnn_track_finding_tpu.config import PipelineConfig
 from gnn_track_finding_tpu.graph.state import GraphState
 from gnn_track_finding_tpu.graph import cca
+from gnn_track_finding_tpu.ops import linalg
 
 
 class ExtractionResult(NamedTuple):
@@ -207,18 +208,18 @@ def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
 
         # parabola through origin + both hits (ref :197-205,236-239)
         denom = (0.0 - x2) * (0.0 - x3) * (x2 - x3)
-        denom = jnp.where(denom == 0.0, 1e-300, denom)
+        denom = jnp.where(denom == 0.0, linalg.tiny(dtype), denom)
         a = (x3 * y2 - x2 * y3) / denom
         b = (-(x3 ** 2) * y2 + (x2 ** 2) * y3) / denom
 
         dr = r3 - r2
         dz = z3 - z2
         hyp = jnp.sqrt(dr * dr + dz * dz)
-        sin_t = jnp.abs(dr) / jnp.maximum(hyp, 1e-300)
+        sin_t = jnp.abs(dr) / jnp.maximum(hyp, linalg.tiny(dtype))
         kappa = (2.0 * a) / (1.0 + (2.0 * a * x3 + b) ** 2) ** 1.5
         var_ms = sin_t * cfg.ms_coefficient() * kappa * kappa
         endcap = jnp.abs(z3) >= cfg.endcap_boundary
-        var_ms = jnp.where(endcap, var_ms * jnp.abs(dr / jnp.where(dz == 0, 1e-300, dz)),
+        var_ms = jnp.where(endcap, var_ms * jnp.abs(dr / jnp.where(dz == 0, linalg.tiny(dtype), dz)),
                            var_ms)
 
         # OU transition + process noise (ref :257-282)

@@ -103,7 +103,7 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
     dr = mr_ - nr_
     dz = mz_ - nz_
     hyp = jnp.sqrt(dr * dr + dz * dz)
-    sin_t = jnp.abs(dr) / jnp.maximum(hyp, 1e-300)
+    sin_t = jnp.abs(dr) / jnp.maximum(hyp, linalg.tiny(dtype))
     kappa = (2.0 * a) / (1.0 + (2.0 * a * mx_ + b) ** 2) ** 1.5
     var_ms = sin_t * cfg.ms_coefficient() * kappa * kappa
     endcap_n = jnp.abs(nz_) >= cfg.endcap_boundary
@@ -128,7 +128,7 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
         dr_t = head[..., 3] - node_xyzr[:, 3:4]
         dz_t = head[..., 2] - node_xyzr[:, 2:3]
         hyp_t = jnp.sqrt(dr_t * dr_t + dz_t * dz_t)
-        sin_t_t = jnp.abs(dr_t) / jnp.maximum(hyp_t, 1e-300)
+        sin_t_t = jnp.abs(dr_t) / jnp.maximum(hyp_t, linalg.tiny(dtype))
         kappa_t = (2.0 * a_n) / (1.0 + (2.0 * a_n * head[..., 0] + b_n) ** 2) ** 1.5
         vms_t = sin_t_t * cfg.ms_coefficient() * kappa_t * kappa_t
         endcap_t = jnp.abs(node_xyzr[:, 2:3]) >= cfg.endcap_boundary

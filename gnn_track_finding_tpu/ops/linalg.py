@@ -12,6 +12,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def tiny(dtype):
+    """Smallest safe positive guard constant for the dtype (1e-300
+    underflows to 0 in float32, defeating division guards)."""
+    return jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+
+
 def det2(m):
     return m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
 

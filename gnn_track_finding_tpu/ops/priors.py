@@ -122,8 +122,8 @@ def reweight(g: GraphState, cfg: PipelineConfig) -> GraphState:
     denom = jax.ops.segment_sum(wl, g.dst, n)
     norms = _side_norms(g)
     denom_e = gtools.gather1d(denom, g.dst)
-    tiny = jnp.asarray(1e-300 if g.dtype == jnp.float64 else 1e-30, g.dtype)
-    w_new = wl * g.upd_prior / jnp.maximum(denom_e, tiny) / norms
+    from gnn_track_finding_tpu.ops import linalg
+    w_new = wl * g.upd_prior / jnp.maximum(denom_e, linalg.tiny(g.dtype)) / norms
     new_weight = jnp.where(member, w_new, g.upd_weight)
     drop = member & (w_new < cfg.reweight_threshold)
     return g.replace(upd_weight=new_weight, active=g.active & ~drop)
