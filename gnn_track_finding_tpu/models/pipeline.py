@@ -154,16 +154,18 @@ def run_pipeline(g: GraphState, cfg: PipelineConfig,
         labels = _host_cca_labels(g) if host_cca else None
         g, res = _extract_jit(g, cfg, i, labels)
         per_iter.append(res)
-        acc = np.asarray(res.accepted)
-        mat = np.asarray(res.cand_nodes)
-        pxy = np.asarray(res.pval_xy)
-        pzr = np.asarray(res.pval_zr)
-        for c in np.flatnonzero(acc):
-            nodes = mat[c]
-            candidates.append(Candidate(nodes=nodes[nodes >= 0],
-                                        iteration=i,
-                                        pval_xy=float(pxy[c]),
-                                        pval_zr=float(pzr[c])))
+        # pull only the accepted-compacted head (the full (C, H) matrix
+        # transfer dominates on relay-attached devices)
+        n_acc = int(res.acc_count)
+        if n_acc:
+            mat = np.asarray(res.acc_nodes[:n_acc])
+            pv = np.asarray(res.acc_pvals[:n_acc])
+            for c in range(n_acc):
+                nodes = mat[c]
+                candidates.append(Candidate(nodes=nodes[nodes >= 0],
+                                            iteration=i,
+                                            pval_xy=float(pv[c, 0]),
+                                            pval_zr=float(pv[c, 1])))
     return PipelineResult(graph=g, candidates=candidates,
                           per_iteration=per_iter)
 

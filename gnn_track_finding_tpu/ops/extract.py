@@ -45,6 +45,12 @@ class ExtractionResult(NamedTuple):
     merged_pair: jax.Array   # (C,) number of proximity-merged node pairs
     pval_xy: jax.Array       # (C,)
     pval_zr: jax.Array       # (C,)
+    # accepted rows compacted to the front (device-side argsort) so the
+    # host driver pulls only acc_count rows instead of the full (C, H)
+    # matrix — the transfers dominate on relay-attached devices
+    acc_nodes: jax.Array     # (C, H) accepted-first node indices
+    acc_pvals: jax.Array     # (C, 2) accepted-first (pval_xy, pval_zr)
+    acc_count: jax.Array     # ()    number of accepted rows
 
 
 def _candidate_matrix(g: GraphState, labels: jax.Array, h: int,
@@ -332,10 +338,15 @@ def extract_candidates(g: GraphState, cfg: PipelineConfig, labels=None):
 
     accepted = (processed & (pval_xy >= cfg.track_acceptance_pval)
                 & (pval_zr >= cfg.track_acceptance_pval))
+    order = jnp.argsort(~accepted, stable=True)
+    acc_nodes = mat[order]
+    acc_pvals = jnp.stack([pval_xy[order], pval_zr[order]], axis=1)
     return ExtractionResult(
         labels=labels, row_of_node=row_of_node, cand_nodes=mat,
         cand_size=size, processed=processed, accepted=accepted,
-        merged_pair=n_pairs, pval_xy=pval_xy, pval_zr=pval_zr)
+        merged_pair=n_pairs, pval_xy=pval_xy, pval_zr=pval_zr,
+        acc_nodes=acc_nodes, acc_pvals=acc_pvals,
+        acc_count=jnp.sum(accepted))
 
 
 def apply_extraction(g: GraphState, res: ExtractionResult,
