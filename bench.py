@@ -29,6 +29,8 @@ def log(*a):
 
 def main():
     import jax
+    from gnn_track_finding_tpu.utils.platform import ensure_backend
+    ensure_backend()
     jax.config.update("jax_compilation_cache_dir",
                       f"/root/repo/.jax_cache/{jax.default_backend()}")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

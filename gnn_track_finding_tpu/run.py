@@ -37,6 +37,8 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
+    from gnn_track_finding_tpu.utils.platform import ensure_backend
+    ensure_backend()
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
