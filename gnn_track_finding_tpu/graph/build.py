@@ -19,6 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.nxorder import RefOrderTracker
 from gnn_track_finding_tpu.graph.state import GraphState
 
 
@@ -31,6 +32,9 @@ class HostEvent:
     hit_ids: Optional[List[np.ndarray]] = None
     hit_particle_ids: Optional[List[np.ndarray]] = None
     module_ids: Optional[List[np.ndarray]] = None
+    # reference NetworkX-order replica (graph/nxorder.py) — the driver
+    # feeds it each extraction to reproduce the GNN-coordinate leak
+    tracker: Optional[object] = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -62,94 +66,6 @@ def connected_components_host(n: int, pairs: np.ndarray) -> np.ndarray:
     for u, v in pairs:
         uf.union(int(u), int(v))
     return np.array([uf.find(i) for i in range(n)], dtype=np.int32)
-
-
-def _reference_neighbour_orders(n: int, src: np.ndarray, dst: np.ndarray,
-                                in_tab: np.ndarray, out_tab: np.ndarray,
-                                orig_of: np.ndarray) -> list:
-    """Per-node neighbour iteration order exactly as the reference sees it.
-
-    The reference seeds states on per-component ``subgraph(c).copy()``
-    graphs (event_conversion.py:80,84), and the neighbour order it
-    iterates is ``set(nx.all_neighbors(G, node))`` (helper.py:280) —
-    a CPython hash-table order that depends on the exact insertion
-    sequence.  That sequence is produced by a chain of NetworkX
-    rebuilds, each replicated here with genuine Python sets (same
-    interpreter => identical collision behaviour):
-
-      1. ``nx.DiGraph(G)`` (event_conversion.py:80) rebuilds via
-         ``from_dict_of_dicts``: successor adjacency keeps CSV edge
-         insertion order, predecessor adjacency is regrouped by source
-         node in node-insertion order.
-      2. ``nx.weakly_connected_components`` BFS builds each component as
-         a set, inserting source first, then per visited node successors
-         (CSV order) before predecessors (node order)
-         (networkx weakly_connected._plain_bfs).
-      3. ``G.subgraph(c)`` re-hashes the component into a fresh set
-         (``show_nodes(self.nbunch_iter(nodes))``), and iterating the
-         view walks THAT set when ``2*len(c) < n`` (FilterAtlas.__iter__,
-         the "node_ok_shorter" branch), else parent node order.
-      4. ``.copy()`` adds edges grouped by source in that view order, so
-         the copy's predecessor adjacency is ordered by the source's
-         position in the component-set iteration order; successor
-         adjacency again keeps CSV order.
-      5. ``set(nx.all_neighbors(copy, node))`` inserts predecessors
-         (copy order) then successors (CSV order).
-
-    Returns a list of per-node neighbour lists of ORIGINAL node ids in
-    reference iteration order.
-    """
-    # adjacency in dense indices: succ in CSV insertion order, pred of the
-    # nx.DiGraph(G) rebuild = ascending source node position (dense index)
-    succ = [[int(dst[ei]) for ei in row if ei >= 0] for row in out_tab]
-    pred_rebuilt = [sorted(int(src[ei]) for ei in row if ei >= 0)
-                    for row in in_tab]
-
-    # weakly_connected_components over the rebuilt graph, node order
-    seen: set = set()
-    components: list = []
-    for v in range(n):
-        ov = int(orig_of[v])
-        if ov in seen:
-            continue
-        # _plain_bfs: the component IS the BFS 'seen' set
-        c = {ov}
-        nextlevel = [v]
-        while nextlevel:
-            thislevel = nextlevel
-            nextlevel = []
-            for u in thislevel:
-                for w in succ[u]:
-                    ow = int(orig_of[w])
-                    if ow not in c:
-                        c.add(ow)
-                        nextlevel.append(w)
-                for w in pred_rebuilt[u]:
-                    ow = int(orig_of[w])
-                    if ow not in c:
-                        c.add(ow)
-                        nextlevel.append(w)
-        seen.update(c)
-        components.append(c)
-
-    dense_of = {int(o): i for i, o in enumerate(orig_of)}
-    orders: list = [None] * n
-    for c in components:
-        # show_nodes(self.nbunch_iter(nodes)): fresh set, element-wise
-        show = set(x for x in c)
-        if 2 * len(show) < n:
-            copy_order = [x for x in show]          # FilterAtlas set walk
-        else:
-            copy_order = [int(o) for o in orig_of if int(o) in show]
-        pos = {oid: i for i, oid in enumerate(copy_order)}
-        for oid in copy_order:
-            v = dense_of[oid]
-            preds_copy = sorted(pred_rebuilt[v],
-                                key=lambda u: pos[int(orig_of[u])])
-            ordered = list(set(
-                int(orig_of[w]) for w in preds_copy + succ[v]))
-            orders[v] = ordered
-    return orders
 
 
 def build_graph_state(
@@ -225,8 +141,8 @@ def build_graph_state(
     orig_of = np.asarray(orig_ids, np.int64)
     dense_of = {int(o): i for i, o in enumerate(orig_of)}
     mirror = np.arange(e, dtype=np.int32)
-    orders = _reference_neighbour_orders(n, src, dst, in_tab, out_tab,
-                                         orig_of)
+    tracker = RefOrderTracker(n, src, dst, in_tab, out_tab, orig_of)
+    orders = tracker.neighbour_orders()
     for node in range(n):
         ordered = orders[node]
         d = len(ordered)
@@ -266,6 +182,7 @@ def build_graph_state(
         n_nodes=n, n_edges=e, max_degree=k, n_layers=len(layers),
         node_mask=jnp.asarray(node_mask),
         xyzr=jnp.asarray(padn(xyzr.astype(np.float64)), dtype),
+        gnn_xyzr=jnp.asarray(padn(xyzr.astype(np.float64)), dtype),
         vivl=jnp.asarray(padn(vivl.astype(np.int32))),
         layer_idx=jnp.asarray(padn(layer_idx)),
         truth=jnp.asarray(padn(truth_idx, fill=-1)),
@@ -285,6 +202,7 @@ def build_graph_state(
         upd_sv=f(e_pad, 3), upd_cov=f(e_pad, 3, 3),
         upd_joint=f(e_pad, 3), upd_joint_cov=f(e_pad, 3, 3),
         upd_prior=f(e_pad), upd_weight=f(e_pad), upd_likelihood=f(e_pad),
+        upd_xyzr=f(e_pad, 4),
         in_edges=jnp.asarray(padn(in_tab, fill=-1)),
         out_edges=jnp.asarray(padn(out_tab, fill=-1)),
         slot_in=jnp.asarray(pade(slot_in)),
@@ -306,5 +224,6 @@ def build_graph_state(
         hit_ids=(host_extra or {}).get("hit_ids"),
         hit_particle_ids=(host_extra or {}).get("hit_particle_ids"),
         module_ids=(host_extra or {}).get("module_ids"),
+        tracker=tracker,
     )
     return g, host

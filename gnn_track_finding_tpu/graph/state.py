@@ -42,7 +42,17 @@ class GraphState:
 
     # ---- node arrays, padded to N ----
     node_mask: jax.Array      # (N,)   bool: node still in the graph
-    xyzr: jax.Array           # (N,4)  hit coordinates (x, y, z, r)
+    xyzr: jax.Array           # (N,4)  hit coordinates (x, y, z, r) — the
+    #                                  reference's immutable 'xyzr' attribute
+    # live GNN_Measurement coordinates: identical to xyzr until an
+    # extraction-stage close-proximity merge mutates the shared
+    # GNN_Measurement object (extract_track_candidates.py:113-116 — the
+    # mutation leaks through every shallow Graph.copy() into the remaining
+    # network).  Message passing reads THESE; everything keyed to the
+    # 'xyzr' attribute (clustering node coords, extraction sort/merge
+    # distances) keeps reading xyzr.  bug_compat drivers apply the leak
+    # via graph/nxorder.RefOrderTracker; clean mode never mutates.
+    gnn_xyzr: jax.Array       # (N,4)
     vivl: jax.Array           # (N,2)  int32 (volume_id, in_volume_layer_id)
     layer_idx: jax.Array      # (N,)   int32 dense layer index in [0, n_layers)
     truth: jax.Array          # (N,)   int32 dense truth-particle index (-1 pad)
@@ -80,6 +90,13 @@ class GraphState:
     upd_prior: jax.Array      # (E,)
     upd_weight: jax.Array     # (E,)
     upd_likelihood: jax.Array  # (E,)
+    # tail GNN coordinates snapshot taken when the updated state was
+    # written — the reference stores (node_x, ..., node_r) INSIDE the
+    # updated_track_states dict (extrapolate_merged_states.py:374-377) and
+    # reads them back for clustering neighbour coords (clustering.py:218)
+    # and reweight side norms (helper.py:113), so later coordinate
+    # mutations must not bleed into those consumers.
+    upd_xyzr: jax.Array       # (E,4)
 
     # ---- per-node fixed-K edge tables (insertion order == CSV edge order,
     #      reproducing NetworkX adjacency iteration order) ----
@@ -133,7 +150,8 @@ def blank_state(n_pad: int, e_pad: int, k: int, n_layers: int,
     b = lambda *s: jnp.zeros(s, bool)
     return GraphState(
         n_nodes=0, n_edges=0, max_degree=k, n_layers=n_layers,
-        node_mask=b(n_pad), xyzr=f(n_pad, 4), vivl=i(n_pad, 2),
+        node_mask=b(n_pad), xyzr=f(n_pad, 4), gnn_xyzr=f(n_pad, 4),
+        vivl=i(n_pad, 2),
         layer_idx=i(n_pad), truth=jnp.full((n_pad,), -1, jnp.int32),
         component=i(n_pad), degree=i(n_pad),
         has_merged=b(n_pad), merged_state=f(n_pad, 3),
@@ -147,6 +165,7 @@ def blank_state(n_pad: int, e_pad: int, k: int, n_layers: int,
         has_updated=b(e_pad), upd_sv=f(e_pad, 3), upd_cov=f(e_pad, 3, 3),
         upd_joint=f(e_pad, 3), upd_joint_cov=f(e_pad, 3, 3),
         upd_prior=f(e_pad), upd_weight=f(e_pad), upd_likelihood=f(e_pad),
+        upd_xyzr=f(e_pad, 4),
         in_edges=jnp.full((n_pad, k), -1, jnp.int32),
         out_edges=jnp.full((n_pad, k), -1, jnp.int32),
         slot_in=i(e_pad), slot_out=i(e_pad),

@@ -78,13 +78,24 @@ def stage_step(g: GraphState, cfg: PipelineConfig, i: int,
                          kl_thresholds=kl_thresholds)
 
 
+def extract_only(g: GraphState, cfg: PipelineConfig, labels=None
+                 ) -> Tuple[GraphState, extract.ExtractionResult]:
+    """Extraction + candidate-node removal (no metadata pruning)."""
+    res = extract.extract_candidates(g, cfg, labels)
+    g = extract.apply_extraction(g, res, cfg)
+    return g, res
+
+
+def metadata_step(g: GraphState, cfg: PipelineConfig) -> GraphState:
+    return metadata.remove_state_metadata(g, cfg)
+
+
 def extract_step(g: GraphState, cfg: PipelineConfig, i: int, labels=None
                  ) -> Tuple[GraphState, extract.ExtractionResult]:
     """Extraction + removal + (even iterations) metadata pruning."""
-    res = extract.extract_candidates(g, cfg, labels)
-    g = extract.apply_extraction(g, res, cfg)
+    g, res = extract_only(g, cfg, labels)
     if i % 2 == 0:
-        g = metadata.remove_state_metadata(g, cfg)
+        g = metadata_step(g, cfg)
     return g, res
 
 
@@ -126,6 +137,8 @@ _iteration_jit = jax.jit(iteration, static_argnums=(1, 2))
 _prepare_jit = jax.jit(prepare, static_argnums=1)
 _stage_jit = jax.jit(stage_step, static_argnums=(1, 2))
 _extract_jit = jax.jit(extract_step, static_argnums=(1, 2))
+_extract_only_jit = jax.jit(extract_only, static_argnums=1)
+_metadata_jit = jax.jit(metadata_step, static_argnums=1)
 
 
 def _host_cca_labels(g: GraphState):
@@ -143,29 +156,86 @@ def _host_cca_labels(g: GraphState):
     return jnp.asarray(labels)
 
 
+def _apply_gnn_mutations(g: GraphState, mutations,
+                         in_tab: np.ndarray, slot_out: np.ndarray,
+                         src: np.ndarray) -> GraphState:
+    """Apply extraction-leak coordinate mutations (graph/nxorder.py) to the
+    live GNN coordinate view and the out-table head-coordinate cache."""
+    import jax.numpy as jnp
+    last = {}
+    for node, coords in mutations:      # later mutations win (in-place ref)
+        last[node] = coords
+    nodes = np.fromiter(last.keys(), np.int32, len(last))
+    coords = np.array([last[n] for n in nodes], np.float64)
+    # out_head_xyzr[src[e], slot_out[e]] holds gnn_xyzr[dst[e]]: refresh the
+    # slots of every in-edge of each mutated node
+    rows, slots, vals = [], [], []
+    for node, c in last.items():
+        for ei in in_tab[node]:
+            if ei >= 0:
+                rows.append(int(src[ei]))
+                slots.append(int(slot_out[ei]))
+                vals.append(c)
+    new_gnn = g.gnn_xyzr.at[nodes].set(jnp.asarray(coords, g.dtype))
+    out_head = g.out_head_xyzr
+    if rows:
+        out_head = out_head.at[np.array(rows), np.array(slots)].set(
+            jnp.asarray(np.array(vals, np.float64), g.dtype))
+    return g.replace(gnn_xyzr=new_gnn, out_head_xyzr=out_head)
+
+
 def run_pipeline(g: GraphState, cfg: PipelineConfig,
-                 kl_thresholds=None, host_cca: bool = True) -> PipelineResult:
-    """Host driver: sequence jitted iterations, collect candidates."""
+                 kl_thresholds=None, host_cca: bool = True,
+                 tracker=None) -> PipelineResult:
+    """Host driver: sequence jitted iterations, collect candidates.
+
+    tracker: optional graph/nxorder.RefOrderTracker (from HostEvent).  In
+    bug_compat mode it replays each extraction's close-proximity merges and
+    applies the reference's GNN-coordinate leak
+    (extract_track_candidates.py:113-116) between extraction and the next
+    stage; without it (or in clean mode) coordinates stay immutable.
+    """
     g = _prepare_jit(g, cfg)
     candidates: List[Candidate] = []
     per_iter = []
+    emulate_leak = tracker is not None and cfg.bug_compat
+    if emulate_leak:
+        vivl_np = np.asarray(g.vivl)
+        xyzr_np = np.asarray(g.xyzr, np.float64)
+        in_tab_np = np.asarray(g.in_edges)
+        slot_out_np = np.asarray(g.slot_out)
+        src_np = np.asarray(g.src)
     for i in range(1, cfg.num_iterations + 1):
         g = _stage_jit(g, cfg, i, kl_thresholds)
+        if emulate_leak:
+            active_in = np.asarray(g.edge_mask & g.active)
         labels = _host_cca_labels(g) if host_cca else None
-        g, res = _extract_jit(g, cfg, i, labels)
+        g, res = _extract_only_jit(g, cfg, labels)
         per_iter.append(res)
         # pull only the accepted-compacted head (the full (C, H) matrix
         # transfer dominates on relay-attached devices)
         n_acc = int(res.acc_count)
+        acc_sets = []
         if n_acc:
             mat = np.asarray(res.acc_nodes[:n_acc])
             pv = np.asarray(res.acc_pvals[:n_acc])
             for c in range(n_acc):
                 nodes = mat[c]
-                candidates.append(Candidate(nodes=nodes[nodes >= 0],
+                nodes = nodes[nodes >= 0]
+                acc_sets.append(set(int(x) for x in nodes))
+                candidates.append(Candidate(nodes=nodes,
                                             iteration=i,
                                             pval_xy=float(pv[c, 0]),
                                             pval_zr=float(pv[c, 1])))
+        if emulate_leak:
+            muts = tracker.extraction_merges(
+                active_in, vivl_np, xyzr_np, acc_sets,
+                cfg.min_track_hits, cfg.node_merge_distance)
+            if muts:
+                g = _apply_gnn_mutations(g, muts, in_tab_np, slot_out_np,
+                                         src_np)
+        if i % 2 == 0:
+            g = _metadata_jit(g, cfg)
     return PipelineResult(graph=g, candidates=candidates,
                           per_iteration=per_iter)
 

@@ -182,9 +182,14 @@ def generate_linear_event(
                                       for i in range(num_layers)))
 
 
-def to_networkx(ev: ToyEvent):
+def to_networkx(ev: ToyEvent, reference_orders: bool = True):
     """NetworkX DiGraph with the reference's node-attribute schema, for
-    oracle comparisons (helper.py:498-518)."""
+    oracle comparisons (helper.py:498-518).
+
+    reference_orders=True (default) additionally replays the reference's
+    event-conversion rebuild chain so adjacency iteration orders match
+    what the reference actually seeds on; False returns the raw
+    insertion-order graph (the layout of the device edge tables)."""
     import networkx as nx
 
     g = nx.DiGraph()
@@ -204,4 +209,22 @@ def to_networkx(ev: ToyEvent):
     for u, v in ev.edge_pairs:
         g.add_edge(int(u), int(v))
         g.add_edge(int(v), int(u))
-    return g
+
+    if not reference_orders:
+        return g
+
+    # The reference never seeds on the raw constructed graph: event
+    # conversion rebuilds it (nx.DiGraph(G), event_conversion.py:80) and
+    # splits it into per-component subgraph(c).copy() graphs (:84), which
+    # scrambles predecessor adjacency and node order — orders the
+    # numerics depend on (set(nx.all_neighbors), helper.py:280).  Rebuild
+    # the same way and re-compose, preserving each copy's adjacency
+    # orders, so oracle comparisons (and the nxorder emulation they
+    # validate) see exactly what the reference would.
+    g = nx.DiGraph(g)
+    parts = [g.subgraph(c).copy() for c in nx.weakly_connected_components(g)]
+    composed = nx.DiGraph()
+    for part in parts:
+        composed.add_nodes_from(part.nodes(data=True))
+        composed.add_edges_from(part.edges(data=True))
+    return composed

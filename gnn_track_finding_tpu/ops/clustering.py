@@ -63,12 +63,14 @@ def _compact_member_edges(g: GraphState, member_slot: jax.Array
     return compact, count
 
 
-def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, tab: jax.Array,
+def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, nb_xyzr: jax.Array,
                    valid: jax.Array, joint: jax.Array, jcov: jax.Array) -> jax.Array:
-    """Masked (N, KC, KC) lower-triangle chi2 matrix (clustering.py:11-86)."""
+    """Masked (N, KC, KC) lower-triangle chi2 matrix (clustering.py:11-86).
+
+    nb_xyzr: (N, KC, 4) neighbour coordinates as recorded in the state
+    dict (seed-time or extrapolation-time snapshot); the node's own coords
+    are always the immutable 'xyzr' attribute (clustering.py:217)."""
     dtype = g.dtype
-    e = jnp.maximum(tab, 0)
-    nb_xyzr = g.e_xyzr[e][..., :4]        # (N, KC, 4): static src coords
     node_xyzr = g.xyzr                    # (N, 4)
 
     # [a, b] block distance
@@ -142,22 +144,28 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     e = jnp.maximum(tab, 0)
 
     # single packed row gather for all per-edge state (one ~4KB tile read
-    # per slot instead of six): [p_sv(3) | p_cov(9) | j_sv(3) | j_cov(9) |
-    # prior(1)]
+    # per slot instead of seven): [p_sv(3) | p_cov(9) | j_sv(3) | j_cov(9) |
+    # prior(1) | nb_xyzr(4)].  Neighbour coordinates are the reference's
+    # in-dict 'xyzr' records (clustering.py:218): the seed-time snapshot
+    # (== static e_xyzr tail) for track_state_estimates, the
+    # extrapolation-time snapshot (upd_xyzr) for updated_track_states.
     if use_updated:
         packed = jnp.concatenate([
             g.upd_sv, g.upd_cov.reshape(-1, 9), g.upd_joint,
-            g.upd_joint_cov.reshape(-1, 9), g.upd_prior[:, None]], axis=1)
+            g.upd_joint_cov.reshape(-1, 9), g.upd_prior[:, None],
+            g.upd_xyzr], axis=1)
     else:
         packed = jnp.concatenate([
             g.seed_sv, g.seed_cov.reshape(-1, 9), g.seed_joint,
-            g.seed_joint_cov.reshape(-1, 9), g.seed_prior[:, None]], axis=1)
-    pk = packed[e]                                  # (N, KC, 25)
+            g.seed_joint_cov.reshape(-1, 9), g.seed_prior[:, None],
+            g.e_xyzr[:, :4]], axis=1)
+    pk = packed[e]                                  # (N, KC, 29)
     p_sv = pk[..., 0:3]
     p_cov = pk[..., 3:12].reshape(*e.shape, 3, 3)
     j_sv = pk[..., 12:15]
     j_cov = pk[..., 15:24].reshape(*e.shape, 3, 3)
     prior = pk[..., 24]
+    nb_xyzr = pk[..., 25:29]
 
     gate = (count > cfg.cluster_min_edges - 1) & (count < cfg.cluster_max_edges + 1)
 
@@ -168,7 +176,6 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
         from gnn_track_finding_tpu.ops import pallas_cluster
         n = g.num_padded_nodes
         t = lambda x, r: jnp.moveaxis(x, 0, -1).reshape(r, n)
-        nb_xyzr = g.e_xyzr[e][..., :4]
         klthr_arr = jnp.broadcast_to(
             jnp.asarray(kl_thr, dtype), (n,))[None, :]
         found_i, pm_t, pc_t, mprior_t, deact_t = pallas_cluster.cluster_tile(
@@ -192,7 +199,7 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     p_cov = safe(p_cov)
     j_cov = safe(j_cov)
 
-    chi2 = _pairwise_chi2(g, cfg, tab, valid, j_sv, j_cov)
+    chi2 = _pairwise_chi2(g, cfg, nb_xyzr, valid, j_sv, j_cov)
     # min over nonzero entries (clustering.py:119-120)
     chi2 = jnp.where(chi2 == 0.0, jnp.inf, chi2)
     flat = chi2.reshape(chi2.shape[0], -1)

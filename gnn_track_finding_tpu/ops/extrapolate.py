@@ -84,18 +84,24 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
     chi2-vs-truth CSV appends (extrapolate_merged_states.py:284-295),
     consumed by ops/metrics.chi2_truth_dump."""
     dtype = g.dtype
-    nx_, ny_, nz_, nr_ = (g.e_xyzr[:, i] for i in range(4))      # tail
-    mx_, my_, mz_, mr_ = (g.e_xyzr[:, 4 + i] for i in range(4))  # head
 
     # one packed row gather for everything node-dynamic at the tail:
-    # [merged_state(3) | merged_cov(9) | has_merged(1)]
+    # [merged_state(3) | merged_cov(9) | has_merged(1) | gnn_xyzr(4)].
+    # Coordinates ride the LIVE GNN view (g.gnn_xyzr), not the static
+    # e_xyzr cache: the reference reads GNN_Measurement.x/... here
+    # (extrapolate_merged_states.py:31-39), which extraction's
+    # close-proximity merge mutates in place (see GraphState.gnn_xyzr).
     packed = jnp.concatenate([
         g.merged_state, g.merged_cov.reshape(-1, 9),
-        g.has_merged[:, None].astype(dtype)], axis=1)
-    pe = packed[g.src]                                  # (E, 13)
+        g.has_merged[:, None].astype(dtype), g.gnn_xyzr], axis=1)
+    pe = packed[g.src]                                  # (E, 17)
     merged = pe[:, :3]
     merged_cov_src = pe[:, 3:12].reshape(-1, 3, 3)
     a, b, c = merged[:, 0], merged[:, 1], merged[:, 2]
+    tail_xyzr = pe[:, 13:17]
+    nx_, ny_, nz_, nr_ = (tail_xyzr[:, i] for i in range(4))     # tail
+    head_xyzr = g.gnn_xyzr[g.dst]                       # (E, 4)
+    mx_, my_, mz_, mr_ = (head_xyzr[:, i] for i in range(4))     # head
 
     proc = g.edge_mask & g.active & (pe[:, 12] > 0.5)
 
@@ -121,8 +127,9 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
         proc_slot = jnp.zeros(otab.shape, bool).at[g.src, g.slot_out].max(
             g.edge_mask & g.active)
         proc_slot = proc_slot & g.has_merged[:, None] & (otab >= 0)
-        head = g.out_head_xyzr                      # (N, K, 4) static
-        node_xyzr = g.xyzr
+        head = g.out_head_xyzr                      # (N, K, 4) — refreshed
+        # by the driver when extraction merges mutate GNN coordinates
+        node_xyzr = g.gnn_xyzr
         a_n = g.merged_state[:, 0:1]
         b_n = g.merged_state[:, 1:2]
         dr_t = head[..., 3] - node_xyzr[:, 3:4]
@@ -211,6 +218,10 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
         upd_joint_cov=sm_(joint_cov, g.upd_joint_cov),
         upd_weight=jnp.where(sel, w, g.upd_weight),
         upd_likelihood=jnp.where(sel, likelihood, g.upd_likelihood),
+        # snapshot of the tail's GNN coords, the reference's in-dict
+        # 'xyzr' record (ref :374-377) read back by clustering and the
+        # side norms — immune to later coordinate mutations
+        upd_xyzr=jnp.where(sel[:, None], tail_xyzr, g.upd_xyzr),
     )
     if return_debug:
         return out, (chi2, proc)

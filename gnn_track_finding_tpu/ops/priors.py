@@ -86,18 +86,26 @@ def _side_norms(g: GraphState) -> jax.Array:
     with no K x K blowup.
     """
     ok = g.has_updated & g.active & g.edge_mask
-    xs = g.e_xyzr[:, 0]                          # static src x
-    left = xs < g.e_xyzr[:, 4]                   # static dst x
+    # neighbour x comes from the updated dict's coordinate snapshot
+    # (helper.py:113 reads updated_track_states[...]['xyzr'][0]); node x
+    # is the LIVE GNN_Measurement coordinate (helper.py:104), which
+    # extraction's close-proximity merge may have mutated.
+    xs = g.upd_xyzr[:, 0]
+    node_x = g.gnn_xyzr[:, 0]
+    left = xs < gtools.gather1d(node_x, g.dst)
 
-    # slot-space distinct-count: ok flags scatter into the in-table, the
-    # static per-slot src-x cache is row-sorted per side, and distinct
-    # values are counted from neighbour differences — no global sorts.
+    # slot-space distinct-count: ok flags and snapshot x scatter into the
+    # in-table (scatters are tile-efficient), rows are sorted per side,
+    # and distinct values counted from neighbour differences — no global
+    # sorts, no gathers through the table.
     ok_slot = jnp.zeros(g.in_edges.shape, bool).at[g.dst, g.slot_in].max(ok)
-    left_slot = g.in_src_x < g.xyzr[:, 0:1]
+    x_slot = jnp.zeros(g.in_edges.shape, g.dtype).at[g.dst, g.slot_in].set(
+        jnp.where(ok, xs, 0.0))
+    left_slot = x_slot < node_x[:, None]
     inf = jnp.asarray(jnp.inf, g.dtype)
 
     def distinct(side_mask):
-        vals = jnp.where(ok_slot & side_mask, g.in_src_x, inf)
+        vals = jnp.where(ok_slot & side_mask, x_slot, inf)
         s = jnp.sort(vals, axis=1)
         fin = jnp.isfinite(s)
         newval = jnp.concatenate(

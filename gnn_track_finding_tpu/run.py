@@ -88,7 +88,8 @@ def main() -> None:
               f"{float(kl_thresholds.max()):.3g}]")
 
     t0 = time.time()
-    out = pipeline.run_pipeline(g, cfg, kl_thresholds=kl_thresholds)
+    out = pipeline.run_pipeline(g, cfg, kl_thresholds=kl_thresholds,
+                                tracker=getattr(host, "tracker", None))
     t_pipe = time.time() - t0
     print(f"[pipeline] {len(out.candidates)} candidates in {t_pipe:.1f}s "
           f"({g.n_edges * cfg.num_iterations / t_pipe:.0f} edges/s/iter avg)")

@@ -44,9 +44,9 @@ def test_cluster_matches_oracle():
         if ref_has:
             n_merged_ref += 1
             np.testing.assert_allclose(ms[node], G.nodes[node]["merged_state"],
-                                       rtol=1e-8, atol=1e-12, err_msg=f"node {node}")
+                                       rtol=1e-6, atol=1e-8, err_msg=f"node {node}")
             np.testing.assert_allclose(mc[node], G.nodes[node]["merged_cov"],
-                                       rtol=1e-8, atol=1e-12)
+                                       rtol=1e-6, atol=1e-8)
             np.testing.assert_allclose(mp[node], G.nodes[node]["merged_prior"],
                                        rtol=1e-10)
     assert n_merged_ref > 0, "toy event produced no clusters — test is vacuous"

@@ -64,11 +64,11 @@ def test_extrapolation_stage_matches_oracle():
             n_updated += 1
             r = ref_states[s]
             np.testing.assert_allclose(usv[e], r["edge_state_vector"],
-                                       rtol=1e-8, atol=1e-14, err_msg=f"{s}->{d}")
+                                       rtol=1e-6, atol=1e-12, err_msg=f"{s}->{d}")
             np.testing.assert_allclose(ucov[e], r["edge_covariance"],
                                        rtol=1e-7, atol=1e-14)
             np.testing.assert_allclose(ujoint[e], r["joint_vector"],
-                                       rtol=1e-8, atol=1e-14)
+                                       rtol=1e-6, atol=1e-12)
             np.testing.assert_allclose(ujcov[e], r["joint_vector_covariance"],
                                        rtol=1e-7, atol=1e-14)
             np.testing.assert_allclose(ul[e], r["likelihood"], rtol=1e-8)
@@ -87,4 +87,4 @@ def test_extrapolation_stage_matches_oracle():
     for node in range(g2.n_nodes):
         if "merged_cov" in G.nodes[node]:
             np.testing.assert_allclose(mc[node], G.nodes[node]["merged_cov"],
-                                       rtol=1e-8, atol=1e-14)
+                                       rtol=1e-6, atol=1e-12)

@@ -33,8 +33,10 @@ def test_shapes_and_masks():
 
 
 def test_edge_tables_match_networkx_order():
+    # the fixed-K tables keep RAW CSV insertion order (the reference's
+    # dict-storage layout before the event-conversion rebuild)
     ev, g, _ = build_toy()
-    G = toymc.to_networkx(ev)
+    G = toymc.to_networkx(ev, reference_orders=False)
     in_tab = np.asarray(g.in_edges)
     out_tab = np.asarray(g.out_edges)
     src = np.asarray(g.src)
@@ -72,3 +74,84 @@ def test_duplicate_edges_deduped():
                           ev.edge_pairs[:3][:, ::-1]])
     g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, dup, CFG)
     assert g.n_edges == 2 * ev.edge_pairs.shape[0]
+
+
+def test_nxorder_tracker_matches_real_networkx():
+    """The nxorder replica must reproduce what actual NetworkX + CPython
+    produce through the reference's rebuild chain (nx.DiGraph -> WCC ->
+    subgraph(c).copy(), event_conversion.py:80-84)."""
+    for seed in (0, 3, 9):
+        ev, g, host = build_toy(seed=seed)
+        G = toymc.to_networkx(ev)          # real rebuilt adjacency orders
+        orders = host.tracker.neighbour_orders()
+        for node in G.nodes():
+            ref = list(set(nx.all_neighbors(G, node)))   # helper.py:280
+            assert orders[node] == ref, f"seed {seed} node {node}"
+
+
+def test_nxorder_extraction_candidate_orders():
+    """Candidate node orders through extraction's CCA + subgraph.copy
+    (extract_track_candidates.py:332-346) vs real NetworkX, with some
+    edges deactivated."""
+    import random
+    for seed in (1, 5):
+        ev, g, host = build_toy(seed=seed)
+        e = g.n_edges
+        rng = random.Random(seed)
+        active = np.ones(g.num_padded_edges, bool)
+        src = np.asarray(g.src)
+        dst = np.asarray(g.dst)
+        for i in range(e):
+            if rng.random() < 0.2:
+                active[i] = False
+
+        # ground truth with real networkx
+        G = toymc.to_networkx(ev)
+        expected = []
+        edge_idx = {(int(src[i]), int(dst[i])): i for i in range(e)}
+        parts = [G.subgraph(c).copy()
+                 for c in nx.weakly_connected_components(G)]
+        for part in parts:
+            sub = part.copy()
+            removed = [(u, v) for u, v in sub.edges()
+                       if not active[edge_idx[(u, v)]]]
+            cands = []
+            if removed:
+                for u, v in removed:
+                    sub.remove_edge(u, v)
+                for c in nx.weakly_connected_components(sub):
+                    cands.append(list(sub.subgraph(c).copy().nodes()))
+            else:
+                cands.append(list(sub.nodes()))
+            expected.append(cands)
+
+        # tracker replica: reuse extraction_merges internals by probing
+        # the candidate orders via the mutation path is indirect; instead
+        # validate the building blocks it uses
+        from gnn_track_finding_tpu.graph import nxorder
+        tr = host.tracker
+        got = []
+        for subg in tr.subgraphs:
+            pos = {u: i for i, u in enumerate(subg.node_order)}
+            csucc = {u: [w for w in subg.succ[u]
+                         if active[edge_idx[(u, w)]]] for u in subg.node_order}
+            cpred = {u: [w for w in sorted(subg.pred[u], key=pos.__getitem__)
+                         if active[edge_idx[(w, u)]]] for u in subg.node_order}
+            removed_any = any(len(csucc[u]) != len(subg.succ[u])
+                              for u in subg.node_order)
+            cands = []
+            if removed_any:
+                seen = set()
+                n = len(subg.node_order)
+                for v in subg.node_order:
+                    if v in seen:
+                        continue
+                    c, _ = nxorder._plain_bfs_set(v, csucc, cpred, int)
+                    seen.update(c)
+                    cands.append(nxorder._subgraph_copy_node_order(
+                        c, subg.node_order, n, int,
+                        {x: x for x in c}))
+            else:
+                cands.append(list(subg.node_order))
+            got.append(cands)
+        assert got == expected, f"seed {seed}"

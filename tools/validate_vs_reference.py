@@ -93,7 +93,44 @@ def main() -> None:
           f"({100.0 * n_cov_ok / max(n_cmp, 1):.3f}%)")
 
     # ---- merged-state comparison (clustering iteration 1 output) ----
-    g1, _ = pipeline._iteration_jit(g, cfg, 1, None)
+    # replicate the host driver: stage, extraction, then the extraction
+    # leak (close-proximity merges mutate GNN coordinates in place —
+    # graph/nxorder.py) before the next stage
+    g1s = jax.jit(pipeline.stage_step, static_argnums=(1, 2))(g, cfg, 1)
+    g1, res1 = pipeline._extract_only_jit(g1s, cfg, None)
+    n_acc = int(res1.acc_count)
+    acc_sets = []
+    if n_acc:
+        mat = np.asarray(res1.acc_nodes[:n_acc])
+        acc_sets = [set(int(x) for x in row[row >= 0]) for row in mat]
+    tracker = host.tracker
+    muts = tracker.extraction_merges(
+        np.asarray(g1s.edge_mask & g1s.active), np.asarray(g.vivl),
+        np.asarray(g.xyzr, np.float64), acc_sets,
+        cfg.min_track_hits, cfg.node_merge_distance)
+    print(f"[leak] extraction-1 close-proximity merges: {len(muts)} "
+          f"coordinate mutations")
+    # cross-check the predicted mutations against the reference's own
+    # remaining networks (GNN coords vs immutable 'xyzr' attribute)
+    ref_muts = {}
+    for G in load_ref_graphs(os.path.join(ref_root, "iteration_1",
+                                          "remaining")):
+        for node, attr in G.nodes(data=True):
+            gm = attr["GNN_Measurement"]
+            if abs(gm.x - attr["xyzr"][0]) > 1e-12 or \
+                    abs(gm.z - attr["xyzr"][2]) > 1e-12:
+                ref_muts[remap.get(int(node))] = (gm.x, gm.y, gm.z, gm.r)
+    ours_muts = {n: c for n, c in muts}
+    in_remaining = {n: c for n, c in ours_muts.items() if n in ref_muts}
+    ok_mut = sum(1 for n, c in ref_muts.items()
+                 if n in ours_muts and np.allclose(ours_muts[n], c))
+    print(f"[leak] reference remaining has {len(ref_muts)} mutated nodes; "
+          f"predicted {len(ours_muts)} (incl. removed-candidate nodes); "
+          f"matching coords: {ok_mut}/{len(ref_muts)}")
+    if muts:
+        g1 = pipeline._apply_gnn_mutations(
+            g1, muts, np.asarray(g.in_edges), np.asarray(g.slot_out),
+            np.asarray(g.src))
     hm = np.asarray(g1.has_merged)
     ms = np.asarray(g1.merged_state)
     mc = np.asarray(g1.merged_cov)
@@ -123,9 +160,15 @@ def main() -> None:
               f"({100.0 * m_val_ok / max(n_ref_merged, 1):.3f}%)")
 
     # ---- updated-state comparison (extrapolation iteration 2 output) ----
+    # NOTE: the reference's iteration_2/network gpickles are written right
+    # after message passing (extrapolate_merged_states.py:561-571), BEFORE
+    # extraction and the even-iteration metadata pruning that deletes
+    # updated states whose partner left the graph — so compare at the
+    # stage boundary, not after the full iteration.
     extr_dir = os.path.join(ref_root, "iteration_2", "network")
     if os.path.isdir(extr_dir):
-        g2, _ = pipeline._iteration_jit(g1, cfg, 2, None)
+        g2 = jax.jit(pipeline.stage_step,
+                     static_argnums=(1, 2))(g1, cfg, 2)
         has_u = np.asarray(g2.has_updated)
         usv = np.asarray(g2.upd_sv)
         ujoint = np.asarray(g2.upd_joint)
