@@ -82,6 +82,48 @@ def connected_components_paired(g, edge_ok: jax.Array) -> jax.Array:
     return jnp.where(g.node_mask, labels, init)
 
 
+def connected_components_fastsv(g, edge_ok: jax.Array) -> jax.Array:
+    """FastSV/Shiloach-Vishkin-style device CCA: per round, hook the
+    PARENT LABELS of each edge's endpoints onto the smaller side, then
+    shortcut (f <- f[f]) — instead of one-hop label propagation.  Hooking
+    at labels contracts label trees multiplicatively, so rounds scale
+    with log(diameter) rather than diameter: 6 rounds / 43 ms on the full
+    event vs ~50 rounds / 417 ms for the paired label-propagation variant
+    (v5e, 55,701 nodes / 165,472 undirected pairs).
+
+    Uses the interleaved edge layout (undirected pairs = even slice, like
+    connected_components_paired) and width-2 packed gathers throughout.
+    """
+    from gnn_track_finding_tpu.ops import gtools
+
+    n = g.node_mask.shape[0]
+    a = g.src[0::2]
+    b = g.dst[0::2]
+    ok = edge_ok[0::2] | edge_ok[1::2]   # weak connectivity
+    init = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(n)
+
+    def body(state):
+        f, _ = state
+        fa = gtools.gather1d(f, a)                 # f[u]
+        fb = gtools.gather1d(f, b)                 # f[v]
+        lo_e = jnp.where(ok, jnp.minimum(fa, fb), big)
+        # masked edges carry `big`, so their scatter-min is a no-op.
+        # hook the parent labels onto the smaller side (hooking at the
+        # NODES instead degenerates to one-hop label propagation:
+        # measured 49 rounds / 337 ms vs 6 rounds / 43 ms full-event)
+        new = f.at[fa].min(lo_e)
+        new = new.at[fb].min(lo_e)
+        # shortcutting: f <- f[f], twice
+        new = gtools.gather1d(new, new)
+        new = gtools.gather1d(new, new)
+        return new, jnp.any(new != f)
+
+    labels, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                   (init, jnp.bool_(True)))
+    return jnp.where(g.node_mask, labels, init)
+
+
 def connected_components_tables(g, edge_ok: jax.Array) -> jax.Array:
     """Scatter-free CCA over the fixed-K edge tables.
 

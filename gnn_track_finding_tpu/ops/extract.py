@@ -318,7 +318,7 @@ def extract_candidates(g: GraphState, cfg: PipelineConfig, labels=None):
     """
     h = cfg.max_track_hits
     if labels is None:
-        labels = cca.connected_components_paired(g, g.edge_mask & g.active)
+        labels = cca.connected_components_fastsv(g, g.edge_mask & g.active)
     mat, size, row_of_node = _candidate_matrix(g, labels, h,
                                                cfg.min_track_hits)
     big_enough = size >= cfg.min_track_hits   # eligibility pre-filtered

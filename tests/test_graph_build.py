@@ -155,3 +155,36 @@ def test_nxorder_extraction_candidate_orders():
                 cands.append(list(subg.node_order))
             got.append(cands)
         assert got == expected, f"seed {seed}"
+
+
+def test_cca_fastsv_matches_paired():
+    """FastSV hooking CCA (graph/cca.py) == label propagation == NetworkX
+    under random edge deactivation."""
+    import random
+    import jax.numpy as jnp
+    from gnn_track_finding_tpu.graph import cca
+
+    for seed in (0, 2, 4):
+        ev, g, _ = build_toy(seed=seed, num_tracks=14)
+        rng = random.Random(seed)
+        ok = np.asarray(g.edge_mask).copy()
+        for i in range(g.n_edges):
+            if rng.random() < 0.3:
+                ok[i] = False
+        okj = jnp.asarray(ok)
+        l_prop = np.asarray(cca.connected_components_paired(g, okj))
+        l_sv = np.asarray(cca.connected_components_fastsv(g, okj))
+        assert np.array_equal(l_prop, l_sv)
+
+        # ground truth: undirected connectivity over surviving edges
+        G = nx.Graph()
+        G.add_nodes_from(range(g.n_nodes))
+        src = np.asarray(g.src)
+        dst = np.asarray(g.dst)
+        for e in range(g.n_edges):
+            if ok[e]:
+                G.add_edge(int(src[e]), int(dst[e]))
+        for comp in nx.connected_components(G):
+            lab = min(comp)
+            for nd in comp:
+                assert l_sv[nd] == lab

@@ -1,0 +1,66 @@
+"""Micro-benchmark of the device CCA variants at full-event scale.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_cca.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    from gnn_track_finding_tpu.utils.platform import ensure_backend
+    ensure_backend()
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/root/repo/.jax_cache/{jax.default_backend()}")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnn_track_finding_tpu.config import PipelineConfig
+    from gnn_track_finding_tpu.data import trackml
+    from gnn_track_finding_tpu.graph import cca
+    from gnn_track_finding_tpu.models import pipeline
+
+    cfg = PipelineConfig(min_volume=7, max_volume=14)
+    g, _ = trackml.load_event(trackml.DEFAULT_EVENT, cfg, dtype=jnp.float32)
+    print(f"[cca] {g.n_nodes} nodes / {g.n_edges} edges, "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+    g = pipeline._prepare_jit(g, cfg)
+    g1 = pipeline._stage_jit(g, cfg, 1, None)   # realistic deactivation
+    ok = g1.edge_mask & g1.active
+
+    @jax.jit
+    def nop(x):
+        return x + 1
+    nop(jnp.int32(0)).item()
+    t = time.time()
+    for _ in range(5):
+        nop(jnp.int32(0)).item()
+    rtt = (time.time() - t) / 5
+
+    n_rep = 10
+    for name, fn in [("paired", cca.connected_components_paired),
+                     ("fastsv", cca.connected_components_fastsv),
+                     ("tables", cca.connected_components_tables)]:
+        @jax.jit
+        def loop(gg, okk, fn=fn):
+            def body(i, acc):
+                return acc + fn(gg, okk).sum()
+            return jax.lax.fori_loop(0, n_rep, body, jnp.int64(0)
+                                     if jax.config.x64_enabled else jnp.int32(0))
+        chk = loop(g1, ok).item()
+        t0 = time.time()
+        chk = loop(g1, ok).item()
+        dt = (time.time() - t0 - rtt) / n_rep
+        # same labels?
+        lab = np.asarray(jax.jit(fn)(g1, ok))
+        print(f"{name:8s} {dt * 1e3:8.2f} ms  (checksum {chk}, "
+              f"n_components {len(np.unique(lab[np.asarray(g1.node_mask)]))})")
+
+
+if __name__ == "__main__":
+    main()
