@@ -73,11 +73,18 @@ def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, nb_xyzr: jax.Array,
     dtype = g.dtype
     node_xyzr = g.xyzr                    # (N, 4)
 
-    # [a, b] block distance
-    d_ab = joint[:, :, None, :2] - joint[:, None, :, :2]          # (N,K,K,2)
-    c_ab = jcov[:, :, None, :2, :2] + jcov[:, None, :, :2, :2]    # (N,K,K,2,2)
-    inv = linalg.inv2(c_ab)
-    d1 = jnp.einsum("nijA,nijAB,nijB->nij", d_ab, inv, d_ab)
+    # [a, b] block distance — componentwise (N,K,K) math: building the
+    # (N,K,K,2,2) tensor and contracting via einsum wastes the whole VPU
+    # tile on the 2-wide minor dims (see ops/linalg.py module doc)
+    da = joint[:, :, None, 0] - joint[:, None, :, 0]              # (N,K,K)
+    db = joint[:, :, None, 1] - joint[:, None, :, 1]
+    pair = lambda q: q[:, :, None] + q[:, None, :]
+    c00 = pair(jcov[:, :, 0, 0])
+    c01 = pair(jcov[:, :, 0, 1])
+    c10 = pair(jcov[:, :, 1, 0])
+    c11 = pair(jcov[:, :, 1, 1])
+    idet = 1.0 / (c00 * c11 - c01 * c10)
+    d1 = (da * (c11 * da - c01 * db) + db * (c00 * db - c10 * da)) * idet
 
     # delta-tau term from raw coordinates
     x_a = node_xyzr[:, 0][:, None]

@@ -251,8 +251,8 @@ def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
             jnp.stack([q01, st2 + dxw2, q12], axis=-1),
             jnp.stack([q02, q12, sw2 * one], axis=-1)], axis=-2)
 
-        xp = jnp.einsum("cij,cj->ci", F, x_xy)
-        Pp = jnp.einsum("cij,cjk,clk->cil", F, P_xy, F) + Q
+        xp = linalg.mat3_vec(F, x_xy)
+        Pp = linalg.sandwich3(F, P_xy) + Q
         # Joseph update, H = [1, 0, 0]
         Sk = Pp[:, 0, 0] + sxy2
         K = Pp[:, :, 0] / Sk[:, None]
@@ -260,7 +260,7 @@ def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
         xn = xp + K * res[:, None]
         ikh = jnp.eye(3, dtype=dtype) - K[:, :, None] * jnp.array(
             [1.0, 0.0, 0.0], dtype)[None, None, :]
-        Pn = jnp.einsum("cij,cjk,clk->cil", ikh, Pp, ikh) + sxy2 * K[:, :, None] * K[:, None, :]
+        Pn = linalg.sandwich3(ikh, Pp) + sxy2 * K[:, :, None] * K[:, None, :]
         res_post = y3 - xn[:, 0]
         S_post = Pn[:, 0, 0] + sxy2
         c_xy = res_post * res_post / S_post
@@ -269,8 +269,8 @@ def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
         Frz = jnp.stack([
             jnp.stack([one, dz], axis=-1),
             jnp.stack([zero, one], axis=-1)], axis=-2)
-        xrp = jnp.einsum("cij,cj->ci", Frz, x_rz)
-        Prp = jnp.einsum("cij,cjk,clk->cil", Frz, P_rz, Frz)
+        xrp = linalg.mat2_vec(Frz, x_rz)
+        Prp = linalg.sandwich2(Frz, P_rz)
         if cfg.bug_compat:
             Prp = Prp + var_ms[:, None, None]     # filterpy scalar broadcast
         else:
@@ -281,7 +281,7 @@ def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
         xrn = xrp + Krz * res_rz[:, None]
         ikh2 = jnp.eye(2, dtype=dtype) - Krz[:, :, None] * jnp.array(
             [1.0, 0.0], dtype)[None, None, :]
-        Prn = jnp.einsum("cij,cjk,clk->cil", ikh2, Prp, ikh2) + srz2 * Krz[:, :, None] * Krz[:, None, :]
+        Prn = linalg.sandwich2(ikh2, Prp) + srz2 * Krz[:, :, None] * Krz[:, None, :]
         res_rz_post = r3 - xrn[:, 0]
         S_rz_post = Prn[:, 0, 0] + srz2
         c_rz = res_rz_post * res_rz_post / S_rz_post

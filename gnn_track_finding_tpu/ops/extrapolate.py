@@ -29,6 +29,7 @@ pure transport (F applied once), and the covariances are separate.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gnn_track_finding_tpu.config import PipelineConfig
@@ -38,27 +39,40 @@ from gnn_track_finding_tpu.ops.seeding import rz_sigmas
 
 
 def _jacobian_and_transport(a, b, c, x_A, sp, cp):
-    """Frame-changed parabola parameters and Jacobian F (ref :63-110)."""
-    x_p = x_A + c * sp
-    vx = cp + b * sp
-    s_star = (-x_p * (2.0 * vx * vx + (a * sp) * x_p)) / (2.0 * vx ** 3)
+    """Frame-changed parabola parameters and Jacobian F (ref :63-110).
 
+    Division/power-light formulation: each distinct denominator is
+    inverted once and its powers are built by multiplication; `x ** 1.5`
+    forms run as rsqrt products.  Same values to ~1 ulp.  (The dominant
+    cost of this stage is elsewhere — see ops/linalg.py on einsum
+    lowering — but the cheap algebra keeps the fused elementwise chain
+    short.)
+    """
+    # den1 == the reference's vx == cp + b*sp; numer == x_p
     numer = x_A + c * sp
-    den1 = cp + b * sp
-    ds_da = -(sp * numer * numer) / den1 ** 3
-    ds_db = (sp * numer * (1.0 + (3.0 * a * sp * numer) / den1 ** 2)) / den1 ** 2
-    ds_dc = -sp * (1.0 + (2.0 * a * sp * numer) / den1 ** 2) / den1
+    inv1 = 1.0 / (cp + b * sp)
+    inv1_2 = inv1 * inv1
+    inv1_3 = inv1_2 * inv1
+    s_star = -numer * (2.0 + (a * sp) * numer * inv1_2) * 0.5 * inv1
 
-    den2 = cp + (2.0 * a + b) * sp
-    da_da = (1.0 / den2 ** 3) * (1.0 - (6.0 * a * sp) * (s_star + a * ds_da) / den2)
-    da_db = (-3.0 * a * sp * (2.0 * a * ds_db + 1.0)) / den2 ** 4
-    da_dc = (-6.0 * sp * ds_dc * a * a) / den2 ** 4
+    asp = a * sp
+    ds_da = -(sp * numer * numer) * inv1_3
+    ds_db = (sp * numer * (1.0 + 3.0 * asp * numer * inv1_2)) * inv1_2
+    ds_dc = -sp * (1.0 + 2.0 * asp * numer * inv1_2) * inv1
 
-    den3 = cp + (2.0 * a * s_star + b) * sp
-    br3 = cp - (sp * (-sp + (2.0 * a * s_star + b) * cp)) / den3
-    db_da = 2.0 * (s_star + a * ds_da) * br3 / den3
-    db_db = (1.0 + 2.0 * a * ds_da) * br3 / den3   # ds_da: ref :98 quirk
-    db_dc = 2.0 * a * ds_dc * br3 / den3
+    inv2 = 1.0 / (cp + (2.0 * a + b) * sp)
+    inv2_3 = inv2 * inv2 * inv2
+    inv2_4 = inv2_3 * inv2
+    da_da = inv2_3 * (1.0 - (6.0 * asp) * (s_star + a * ds_da) * inv2)
+    da_db = (-3.0 * asp * (2.0 * a * ds_db + 1.0)) * inv2_4
+    da_dc = (-6.0 * sp * ds_dc * a * a) * inv2_4
+
+    tas = 2.0 * a * s_star + b
+    inv3 = 1.0 / (cp + tas * sp)
+    br3 = (cp - (sp * (-sp + tas * cp)) * inv3) * inv3
+    db_da = 2.0 * (s_star + a * ds_da) * br3
+    db_db = (1.0 + 2.0 * a * ds_da) * br3   # ds_da: ref :98 quirk
+    db_dc = 2.0 * a * ds_dc * br3
 
     br4 = cp * (2.0 * a + b) - sp
     dc_da = ds_da * br4 + s_star * s_star * cp
@@ -106,11 +120,15 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
     proc = g.edge_mask & g.active & (pe[:, 12] > 0.5)
 
     # --- multiple scattering per edge (ref :112-124; global head x) ---
+    # kappa**2 needs (1+u^2)**-3: one rsqrt cubed instead of the exp/log
+    # lowering of `** 1.5`.
     dr = mr_ - nr_
     dz = mz_ - nz_
     hyp = jnp.sqrt(dr * dr + dz * dz)
     sin_t = jnp.abs(dr) / jnp.maximum(hyp, linalg.tiny(dtype))
-    kappa = (2.0 * a) / (1.0 + (2.0 * a * mx_ + b) ** 2) ** 1.5
+    u = 2.0 * a * mx_ + b
+    rs = jax.lax.rsqrt(1.0 + u * u)
+    kappa = (2.0 * a) * (rs * rs * rs)
     var_ms = sin_t * cfg.ms_coefficient() * kappa * kappa
     endcap_n = jnp.abs(nz_) >= cfg.endcap_boundary
     var_ms = jnp.where(endcap_n, var_ms * jnp.abs(dr) / jnp.abs(dz), var_ms)
@@ -136,7 +154,9 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
         dz_t = head[..., 2] - node_xyzr[:, 2:3]
         hyp_t = jnp.sqrt(dr_t * dr_t + dz_t * dz_t)
         sin_t_t = jnp.abs(dr_t) / jnp.maximum(hyp_t, linalg.tiny(dtype))
-        kappa_t = (2.0 * a_n) / (1.0 + (2.0 * a_n * head[..., 0] + b_n) ** 2) ** 1.5
+        u_t = 2.0 * a_n * head[..., 0] + b_n
+        rs_t = jax.lax.rsqrt(1.0 + u_t * u_t)
+        kappa_t = (2.0 * a_n) * (rs_t * rs_t * rs_t)
         vms_t = sin_t_t * cfg.ms_coefficient() * kappa_t * kappa_t
         endcap_t = jnp.abs(node_xyzr[:, 2:3]) >= cfg.endcap_boundary
         vms_t = jnp.where(endcap_t, vms_t * jnp.abs(dr_t) / jnp.abs(dz_t), vms_t)
@@ -153,11 +173,16 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
     cov_eff = merged_cov_src.at[:, 1, 1].add(cum_e)
 
     # --- frame change + transport (ref :40-79) ---
-    alpha = jnp.arctan2(ny_, nx_)
-    ca, sa = jnp.cos(alpha), jnp.sin(alpha)
+    # cos/sin(arctan2(y, x)) == (x, y)/hypot(x, y): two arctan2 + sin + cos
+    # transcendentals (the reference's literal formulation) become two
+    # rsqrts — same values to ~1 ulp.
+    inv_rho_n = jax.lax.rsqrt(nx_ * nx_ + ny_ * ny_)
+    ca, sa = nx_ * inv_rho_n, ny_ * inv_rho_n
     x_A = (mx_ - nx_) * ca + (my_ - ny_) * sa
-    phi = jnp.arctan2(nx_ * my_ - ny_ * mx_, nx_ * mx_ + ny_ * my_)
-    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    cross = nx_ * my_ - ny_ * mx_
+    dot = nx_ * mx_ + ny_ * my_
+    inv_h = jax.lax.rsqrt(cross * cross + dot * dot)
+    sp, cp = cross * inv_h, dot * inv_h
 
     F = _jacobian_and_transport(a, b, c, x_A, sp, cp)
     extrp = linalg.mat3_vec(F, merged)
@@ -171,7 +196,7 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
 
     # --- Kalman predict (double transport, ref :306-322) + Joseph update ---
     two_pi = 2.0 * jnp.pi
-    likelihood = (two_pi * jnp.abs(S)) ** -0.5 * jnp.exp(-0.5 * chi2)
+    likelihood = jax.lax.rsqrt(two_pi * jnp.abs(S)) * jnp.exp(-0.5 * chi2)
 
     Q = jnp.zeros_like(extrp_cov).at[:, 1, 1].set(var_ms)
     if cfg.bug_compat:

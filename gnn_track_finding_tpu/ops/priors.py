@@ -104,16 +104,21 @@ def _side_norms(g: GraphState) -> jax.Array:
     left_slot = x_slot < node_x[:, None]
     inf = jnp.asarray(jnp.inf, g.dtype)
 
-    def distinct(side_mask):
-        vals = jnp.where(ok_slot & side_mask, x_slot, inf)
-        s = jnp.sort(vals, axis=1)
-        fin = jnp.isfinite(s)
-        newval = jnp.concatenate(
-            [fin[:, :1], fin[:, 1:] & (s[:, 1:] != s[:, :-1])], axis=1)
-        return jnp.sum(newval, axis=1).astype(g.dtype)
-
-    n_left = distinct(left_slot)
-    n_right = distinct(~left_slot)
+    # ONE row sort over a side-offset key instead of one sort per side: the
+    # right side is shifted into a disjoint value range (offset 4*xmax,
+    # which preserves within-side distinctness), sorted rows are scanned
+    # once for first-occurrences, and the side split is recovered from the
+    # 2*xmax boundary.  Halves the dominant (N, K) sort cost.
+    xmax = jnp.max(jnp.abs(x_slot)) + 1.0
+    key = jnp.where(ok_slot, x_slot + jnp.where(left_slot, 0.0, 4.0 * xmax),
+                    inf)
+    s = jnp.sort(key, axis=1)
+    fin = jnp.isfinite(s)
+    newval = jnp.concatenate(
+        [fin[:, :1], fin[:, 1:] & (s[:, 1:] != s[:, :-1])], axis=1)
+    is_left = s < 2.0 * xmax
+    n_left = jnp.sum(newval & is_left, axis=1).astype(g.dtype)
+    n_right = jnp.sum(newval & ~is_left, axis=1).astype(g.dtype)
     counts = jnp.stack([n_left, n_right], axis=1)     # (N, 2)
     side = jnp.where(left, 0, 1)
     norms = jnp.where(ok, gtools.table_lookup(counts, g.dst, side), 1.0)
