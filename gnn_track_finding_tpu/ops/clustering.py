@@ -128,7 +128,7 @@ def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, nb_xyzr: jax.Array,
 
 
 def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
-            kl_thresholds=None, backend: str = "xla") -> GraphState:
+            kl_thresholds=None, backend: str | None = None) -> GraphState:
     """One GMR clustering round over the whole graph.
 
     kl_thresholds: optional per-node (N,) KL acceptance thresholds from the
@@ -141,8 +141,13 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     backend: "xla" (masked batched ops + lax.scan) or "pallas" (the
     VMEM-resident kernel in ops/pallas_cluster.py; same numerics,
     asserted equal in tests).  "pallas_interpret" runs the kernel in
-    interpreter mode (CPU testing).
+    interpreter mode (CPU testing).  None (default) resolves to "pallas"
+    on TPU and "xla" elsewhere — measured 7.8 ms vs 83 ms per full-event
+    round on v5e.
     """
+    import jax as _jax
+    if backend is None:
+        backend = "pallas" if _jax.default_backend() == "tpu" else "xla"
     dtype = g.dtype
     member = (g.has_updated if use_updated else g.edge_mask) & g.edge_mask
     member_slot = _member_slots(g, member)
