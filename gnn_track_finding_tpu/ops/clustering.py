@@ -145,9 +145,11 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     on TPU and "xla" elsewhere — measured 7.8 ms vs 83 ms per full-event
     round on v5e.
     """
-    import jax as _jax
     if backend is None:
-        backend = "pallas" if _jax.default_backend() == "tpu" else "xla"
+        # axon-plugin images expose the same TPU chip under platform name
+        # 'axon' (utils/platform.py) — the pallas kernel runs there too.
+        backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                   else "xla")
     dtype = g.dtype
     member = (g.has_updated if use_updated else g.edge_mask) & g.edge_mask
     member_slot = _member_slots(g, member)

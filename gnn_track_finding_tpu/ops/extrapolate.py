@@ -175,13 +175,17 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
     # --- frame change + transport (ref :40-79) ---
     # cos/sin(arctan2(y, x)) == (x, y)/hypot(x, y): two arctan2 + sin + cos
     # transcendentals (the reference's literal formulation) become two
-    # rsqrts — same values to ~1 ulp.
-    inv_rho_n = jax.lax.rsqrt(nx_ * nx_ + ny_ * ny_)
+    # rsqrts — same values to ~1 ulp.  Denominators are clamped to tiny so
+    # blank/padded rows (nx=ny=0 or cross=dot=0) stay finite like the
+    # arctan2 formulation (arctan2(0,0)=0) instead of carrying NaN.
+    inv_rho_n = jax.lax.rsqrt(
+        jnp.maximum(nx_ * nx_ + ny_ * ny_, linalg.tiny(dtype)))
     ca, sa = nx_ * inv_rho_n, ny_ * inv_rho_n
     x_A = (mx_ - nx_) * ca + (my_ - ny_) * sa
     cross = nx_ * my_ - ny_ * mx_
     dot = nx_ * mx_ + ny_ * my_
-    inv_h = jax.lax.rsqrt(cross * cross + dot * dot)
+    inv_h = jax.lax.rsqrt(
+        jnp.maximum(cross * cross + dot * dot, linalg.tiny(dtype)))
     sp, cp = cross * inv_h, dot * inv_h
 
     F = _jacobian_and_transport(a, b, c, x_A, sp, cp)

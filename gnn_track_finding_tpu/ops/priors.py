@@ -99,27 +99,29 @@ def _side_norms(g: GraphState) -> jax.Array:
     # and distinct values counted from neighbour differences — no global
     # sorts, no gathers through the table.
     ok_slot = jnp.zeros(g.in_edges.shape, bool).at[g.dst, g.slot_in].max(ok)
-    x_slot = jnp.zeros(g.in_edges.shape, g.dtype).at[g.dst, g.slot_in].set(
-        jnp.where(ok, xs, 0.0))
+    # route non-ok edges out of bounds so their writes are DROPPED: padded
+    # edges all carry (dst=0, slot_in=0) and a plain duplicate-index .set
+    # would race their 0.0 against the real edge occupying that slot
+    row = jnp.where(ok, g.dst, g.in_edges.shape[0])
+    x_slot = jnp.zeros(g.in_edges.shape, g.dtype).at[row, g.slot_in].set(
+        xs, mode="drop")
     left_slot = x_slot < node_x[:, None]
     inf = jnp.asarray(jnp.inf, g.dtype)
 
-    # ONE row sort over a side-offset key instead of one sort per side: the
-    # right side is shifted into a disjoint value range (offset 4*xmax,
-    # which preserves within-side distinctness), sorted rows are scanned
-    # once for first-occurrences, and the side split is recovered from the
-    # 2*xmax boundary.  Halves the dominant (N, K) sort cost.
-    xmax = jnp.max(jnp.abs(x_slot)) + 1.0
-    key = jnp.where(ok_slot, x_slot + jnp.where(left_slot, 0.0, 4.0 * xmax),
-                    inf)
-    s = jnp.sort(key, axis=1)
-    fin = jnp.isfinite(s)
-    newval = jnp.concatenate(
-        [fin[:, :1], fin[:, 1:] & (s[:, 1:] != s[:, :-1])], axis=1)
-    is_left = s < 2.0 * xmax
-    n_left = jnp.sum(newval & is_left, axis=1).astype(g.dtype)
-    n_right = jnp.sum(newval & ~is_left, axis=1).astype(g.dtype)
-    counts = jnp.stack([n_left, n_right], axis=1)     # (N, 2)
+    # One row sort PER SIDE on the raw x values: distinctness must be
+    # counted on exact coordinates to match the reference's len(set(x))
+    # semantics (helper.py:127-134) — a side-offset composite key would
+    # quantize x by ~eps*offset (≈5e-4 in float32), collapsing
+    # near-but-distinct coordinates and silently changing reweighting.
+    def _distinct(keep):
+        s = jnp.sort(jnp.where(keep, x_slot, inf), axis=1)
+        fin = jnp.isfinite(s)
+        newval = jnp.concatenate(
+            [fin[:, :1], fin[:, 1:] & (s[:, 1:] != s[:, :-1])], axis=1)
+        return jnp.sum(newval, axis=1).astype(g.dtype)
+
+    counts = jnp.stack([_distinct(ok_slot & left_slot),
+                        _distinct(ok_slot & ~left_slot)], axis=1)  # (N, 2)
     side = jnp.where(left, 0, 1)
     norms = jnp.where(ok, gtools.table_lookup(counts, g.dst, side), 1.0)
     return jnp.maximum(norms, 1.0)
