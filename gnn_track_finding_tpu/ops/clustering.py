@@ -47,18 +47,18 @@ def _member_slots(g: GraphState, member: jax.Array) -> jax.Array:
     return slots & (tab >= 0)
 
 
-def _compact_member_edges(g: GraphState, member_slot: jax.Array
-                          ) -> Tuple[jax.Array, jax.Array]:
-    """First KC member in-edges per node, in insertion order.
+def _compact_member_edges(g: GraphState, member_slot: jax.Array,
+                          kc: int = KC) -> Tuple[jax.Array, jax.Array]:
+    """First kc member in-edges per node, in insertion order.
 
-    Returns (edge_idx (N, KC) int32 with -1 padding, member_count (N,)).
+    Returns (edge_idx (N, kc) int32 with -1 padding, member_count (N,)).
     """
     tab = g.in_edges                      # (N, K)
     valid = member_slot
     order = jnp.argsort(~valid, axis=1, stable=True)
     sorted_tab = jnp.take_along_axis(tab, order, axis=1)
     sorted_valid = jnp.take_along_axis(valid, order, axis=1)
-    compact = jnp.where(sorted_valid, sorted_tab, -1)[:, :KC]
+    compact = jnp.where(sorted_valid, sorted_tab, -1)[:, :kc]
     count = jnp.sum(valid, axis=1)
     return compact, count
 
@@ -121,14 +121,15 @@ def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, nb_xyzr: jax.Array,
     d2 = (tau[:, :, None] - tau[:, None, :]) ** 2 / var_dt
 
     chi2 = d1 + d2
-    k = KC
+    k = valid.shape[1]
     tri = (jnp.arange(k)[:, None] > jnp.arange(k)[None, :])        # i > j
     ok = tri[None] & valid[:, :, None] & valid[:, None, :]
     return jnp.where(ok, chi2, jnp.inf)
 
 
 def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
-            kl_thresholds=None, backend: str | None = None) -> GraphState:
+            kl_thresholds=None, backend: str | None = None,
+            kc: int = KC) -> GraphState:
     """One GMR clustering round over the whole graph.
 
     kl_thresholds: optional per-node (N,) KL acceptance thresholds from the
@@ -153,7 +154,7 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     dtype = g.dtype
     member = (g.has_updated if use_updated else g.edge_mask) & g.edge_mask
     member_slot = _member_slots(g, member)
-    tab, count = _compact_member_edges(g, member_slot)
+    tab, count = _compact_member_edges(g, member_slot, kc)
     valid = tab >= 0
     e = jnp.maximum(tab, 0)
 
@@ -173,7 +174,7 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
             g.seed_sv, g.seed_cov.reshape(-1, 9), g.seed_joint,
             g.seed_joint_cov.reshape(-1, 9), g.seed_prior[:, None],
             g.e_xyzr[:, :4]], axis=1)
-    pk = packed[e]                                  # (N, KC, 29)
+    pk = packed[e]                                  # (N, kc, 29)
     p_sv = pk[..., 0:3]
     p_cov = pk[..., 3:12].reshape(*e.shape, 3, 3)
     j_sv = pk[..., 12:15]
@@ -194,10 +195,10 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
             jnp.asarray(kl_thr, dtype), (n,))[None, :]
         found_i, pm_t, pc_t, mprior_t, deact_t = pallas_cluster.cluster_tile(
             cfg, float(chi2_thr),
-            t(j_sv, 3 * KC), t(j_cov.reshape(n, KC, 9), 9 * KC),
-            t(p_sv, 3 * KC), t(p_cov.reshape(n, KC, 9), 9 * KC),
-            t(prior[..., None], KC), t(valid[..., None].astype(jnp.int32), KC),
-            t(nb_xyzr, 4 * KC), g.xyzr.T.astype(dtype),
+            t(j_sv, 3 * kc), t(j_cov.reshape(n, kc, 9), 9 * kc),
+            t(p_sv, 3 * kc), t(p_cov.reshape(n, kc, 9), 9 * kc),
+            t(prior[..., None], kc), t(valid[..., None].astype(jnp.int32), kc),
+            t(nb_xyzr, 4 * kc), g.xyzr.T.astype(dtype),
             gate.astype(jnp.int32)[None, :], klthr_arr,
             interpret=(backend == "pallas_interpret"))
         found = found_i[0] > 0
@@ -206,7 +207,7 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
         mprior = mprior_t[0]
         remaining = deact_t.T > 0
         return _apply_cluster_results(g, cfg, member_slot, found, pm, pc,
-                                      mprior, remaining)
+                                      mprior, remaining, kc)
 
     eye = jnp.eye(3, dtype=dtype)
     safe = lambda c: jnp.where(valid[:, :, None, None], c, eye)
@@ -219,8 +220,8 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     flat = chi2.reshape(chi2.shape[0], -1)
     best = jnp.argmin(flat, axis=1)
     best_val = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
-    i0 = best // KC
-    i1 = best % KC
+    i0 = best // kc
+    i1 = best % kc
     found = gate & (best_val < chi2_thr) & jnp.isfinite(best_val)
 
     take = lambda arr, idx: jnp.take_along_axis(
@@ -231,7 +232,7 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
                                     take(j_sv, i1), take(j_cov, i1))
     mprior = take(prior, i0) + take(prior, i1)
 
-    ar = jnp.arange(KC)[None, :]
+    ar = jnp.arange(kc)[None, :]
     absorbed = (ar == i0[:, None]) | (ar == i1[:, None])
     remaining = valid & ~absorbed
 
@@ -260,16 +261,16 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
 
     init = (pm, pc, jm, jc, mprior, remaining, ~found)
     (pm, pc, jm, jc, mprior, remaining, _), _ = jax.lax.scan(
-        step, init, None, length=KC - 2)
+        step, init, None, length=kc - 2)
 
-    deact_slot = remaining & found[:, None]              # (N, KC)
+    deact_slot = remaining & found[:, None]              # (N, kc)
     return _apply_cluster_results(g, cfg, member_slot, found, pm, pc,
-                                  mprior, deact_slot)
+                                  mprior, deact_slot, kc)
 
 
 def _apply_cluster_results(g: GraphState, cfg: PipelineConfig,
-                           member_slot, found, pm, pc, mprior, deact_slot
-                           ) -> GraphState:
+                           member_slot, found, pm, pc, mprior, deact_slot,
+                           kc: int = KC) -> GraphState:
     """Write merged states and apply the simultaneous edge deactivation.
 
     Each member edge reads its verdict back through its rank among the
@@ -284,9 +285,9 @@ def _apply_cluster_results(g: GraphState, cfg: PipelineConfig,
     member_e = gtools.table_lookup(member_slot, g.dst, g.slot_in)
     rank_slot = jnp.cumsum(member_slot, axis=1) - 1      # (N, K)
     rank_e = gtools.table_lookup(rank_slot, g.dst, g.slot_in)
-    in_compact = member_e & (rank_e >= 0) & (rank_e < KC)
+    in_compact = member_e & (rank_e >= 0) & (rank_e < kc)
     deact = in_compact & gtools.table_lookup(
-        deact_slot, g.dst, jnp.clip(rank_e, 0, KC - 1))
+        deact_slot, g.dst, jnp.clip(rank_e, 0, kc - 1))
     deact = deact & g.edge_mask
 
     return g.replace(

@@ -40,8 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gnn_track_finding_tpu.config import PipelineConfig
 
-K = 16
-TILE = 512
+K = 16      # default table width == reference's upper degree gate
+TILE = 512  # default lane-tile; parameterizable via cluster_tile(tile=...)
 
 
 def _inv2(a, b, c, d):
@@ -111,7 +111,7 @@ def _kl(mean1, cov1, mean2, cov2, bug_compat):
     return tr + quad
 
 
-def _kernel(cfg: PipelineConfig, chi2_thr: float,
+def _kernel(cfg: PipelineConfig, chi2_thr: float, K: int,
             jsv_ref, jcov_ref, psv_ref, pcov_ref, prior_ref, valid_ref,
             nbx_ref, nodex_ref, gate_ref, klthr_ref,
             found_ref, pm_ref, pc_ref, mprior_ref, deact_ref):
@@ -262,12 +262,18 @@ def _kernel(cfg: PipelineConfig, chi2_thr: float,
 
 def cluster_tile(cfg: PipelineConfig, chi2_thr: float,
                  jsv, jcov, psv, pcov, prior, valid, nbx, nodex, gate, klthr,
-                 interpret: bool = False):
-    """Invoke the kernel over a (rows, N) node-minor problem; N % TILE == 0."""
+                 interpret: bool = False, tile: int | None = None):
+    """Invoke the kernel over a (rows, N) node-minor problem; N % tile == 0.
+
+    The table width K is derived from the inputs (prior is (K, N)); tile
+    defaults to min(TILE, N) — pass a smaller tile for interpreter-mode
+    tests."""
     n = jsv.shape[1]
+    k = prior.shape[0]
+    assert jsv.shape[0] == 3 * k and nbx.shape[0] == 4 * k, (jsv.shape, k)
     dt = jsv.dtype
-    kernel = functools.partial(_kernel, cfg, chi2_thr)
-    tile = min(TILE, n)
+    kernel = functools.partial(_kernel, cfg, chi2_thr, k)
+    tile = min(TILE, n) if tile is None else tile
     assert n % tile == 0, (n, tile)
     grid = (n // tile,)
     ispec = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
@@ -277,14 +283,15 @@ def cluster_tile(cfg: PipelineConfig, chi2_thr: float,
         jax.ShapeDtypeStruct((3, n), dt),           # pm
         jax.ShapeDtypeStruct((9, n), dt),           # pc
         jax.ShapeDtypeStruct((1, n), dt),           # mprior
-        jax.ShapeDtypeStruct((K, n), jnp.int32),    # deact
+        jax.ShapeDtypeStruct((k, n), jnp.int32),    # deact
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[ispec(48), ispec(144), ispec(48), ispec(144), ispec(K),
-                  ispec(K), ispec(64), ispec(4), ispec(1), ispec(1)],
-        out_specs=(ispec(1), ispec(3), ispec(9), ispec(1), ispec(K)),
+        in_specs=[ispec(3 * k), ispec(9 * k), ispec(3 * k), ispec(9 * k),
+                  ispec(k), ispec(k), ispec(4 * k), ispec(4), ispec(1),
+                  ispec(1)],
+        out_specs=(ispec(1), ispec(3), ispec(9), ispec(1), ispec(k)),
         out_shape=out_shape,
         interpret=interpret,
     )(jsv, jcov, psv, pcov, prior, valid, nbx, nodex, gate, klthr)

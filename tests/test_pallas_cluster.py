@@ -1,3 +1,14 @@
+"""Pallas clustering kernel vs the XLA backend.
+
+CI coverage runs the kernel in the Pallas interpreter on CPU at a reduced
+table width (kc=4): the kernel is fully unrolled over K, so interpreter
+cost scales ~K^2 and kc=4 keeps it ~15 s while exercising every code path
+(pairwise chi2 + min, one-hot select, inverse-variance merge, greedy KL
+absorption, deactivation masks).  Both backends run at the SAME kc so
+truncation semantics match.  On TPU the full-width production kernel
+(kc=16) is additionally asserted equal, compiled.
+"""
+
 import jax
 import numpy as np
 import pytest
@@ -12,17 +23,13 @@ from tests import helpers
 CFG = PipelineConfig(node_bucket=64, edge_bucket=256)
 
 
-@pytest.mark.skipif(jax.default_backend() == "cpu",
-                    reason="unrolled kernel is impractically slow in the "
-                           "pallas interpreter; validated compiled on TPU")
-def test_pallas_cluster_matches_xla():
+def _seeded_graph():
     ev = toymc.generate_event(seed=11, num_tracks=16, edge_dphi_window=0.12)
     g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
-    g = helpers.seed_and_init(g, CFG)
+    return helpers.seed_and_init(g, CFG)
 
-    gx = clustering.cluster(g, CFG, False, backend="xla")
-    gp = clustering.cluster(g, CFG, False, backend="pallas")
 
+def _assert_equal(gx, gp):
     np.testing.assert_array_equal(np.asarray(gx.has_merged),
                                   np.asarray(gp.has_merged))
     np.testing.assert_array_equal(np.asarray(gx.active),
@@ -37,3 +44,20 @@ def test_pallas_cluster_matches_xla():
     np.testing.assert_allclose(np.asarray(gp.merged_prior)[fm],
                                np.asarray(gx.merged_prior)[fm], rtol=1e-12)
     assert fm.sum() > 0
+
+
+def test_pallas_kernel_matches_xla_interpreted():
+    g = _seeded_graph()
+    gx = clustering.cluster(g, CFG, False, backend="xla", kc=4)
+    gp = clustering.cluster(g, CFG, False, backend="pallas_interpret", kc=4)
+    _assert_equal(gx, gp)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="compiled full-width kernel needs a TPU; the "
+                           "interpreter equality test above covers CPU CI")
+def test_pallas_cluster_matches_xla():
+    g = _seeded_graph()
+    gx = clustering.cluster(g, CFG, False, backend="xla")
+    gp = clustering.cluster(g, CFG, False, backend="pallas")
+    _assert_equal(gx, gp)
