@@ -5,11 +5,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The workload is the reference's hot stage (SURVEY.md section 3.3): one full
 extrapolation iteration — Kalman extrapolate/validate/update over every
 active directed edge plus the double prior/reweight renormalisation — on
-the TrackML event graph (minCurv_0.3_134: 55,701 nodes, ~331k directed
-edges), float32, steady state.
+the FULL TrackML event graph, volumes 7-14 (minCurv_0.3_134: 55,701 nodes,
+330,944 directed edges), float32, steady state.
 
-Baseline: the reference Python pipeline measured on this machine
-(see BASELINE.md "measured" section): extrapolation stage edges/s.
+Baseline: the reference Python pipeline measured on this machine at the
+same scale (BASELINE.md "Full event" section; the committed reference
+crashes at full volume — two zero-size-reduction defects were patched to
+skip, see BASELINE.md): 330,944 directed edges / 119 s extrapolation stage
+wall-clock = 2,781 edges/s.
 """
 
 import json
@@ -17,10 +20,10 @@ import os
 import sys
 import time
 
-# Baseline measured by running /root/reference stage CLIs on this machine
-# (single CPU process, volume 7, see BASELINE.md "Measured" section):
-# 14,766 directed edges / 6 s extrapolation stage wall-clock.
-REF_EDGES_PER_S = 2461.0
+# Baseline measured by running the (patched) /root/reference stage CLIs on
+# this machine at volumes 7-14 (single CPU process, BASELINE.md "Full event
+# (volumes 7-14)" table): 330,944 directed edges / 119 s extrapolation.
+REF_EDGES_PER_S = 2781.0
 
 
 def log(*a):
@@ -41,13 +44,13 @@ def main():
     from gnn_track_finding_tpu.data import trackml
     from gnn_track_finding_tpu.models import pipeline
 
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(min_volume=7, max_volume=14)
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
 
     t0 = time.time()
     g, _ = trackml.load_event(trackml.DEFAULT_EVENT, cfg, dtype=jnp.float32)
     log(f"[bench] loaded {g.n_nodes} nodes / {g.n_edges} directed edges "
-        f"in {time.time() - t0:.1f}s")
+        f"(volumes {cfg.min_volume}-{cfg.max_volume}) in {time.time() - t0:.1f}s")
 
     prep = jax.jit(pipeline.prepare, static_argnums=1)
     clus = jax.jit(pipeline.cluster_stage, static_argnums=(1, 2))
@@ -84,7 +87,7 @@ def main():
         f"-> {edges_per_s:,.0f} edges/s (checksum {checksum})")
 
     print(json.dumps({
-        "metric": "message_passing_edges_per_s",
+        "metric": "message_passing_edges_per_s_full_event",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / REF_EDGES_PER_S, 2),

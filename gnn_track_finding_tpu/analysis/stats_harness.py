@@ -39,6 +39,57 @@ def accumulate_pvals(num_runs: int = 50, seed: int = 0,
             "purity": np.asarray(purity)}
 
 
+def reweight_threshold_sweep(num_runs: int = 50, seed: int = 0,
+                             cfg: PipelineConfig | None = None,
+                             num_tracks: int = 12,
+                             thresholds: np.ndarray | None = None
+                             ) -> Dict[str, np.ndarray]:
+    """The reference's reweight-threshold tuning study
+    (r&d/node_weight_dist/tune_reweight_threshold/
+    run_tune_reweight_threshold.sh:6-18): rerun iterations 1-2 over many
+    seeded toy events, collect every remaining edge's post-iteration-2
+    mixture weight with its truth label
+    (extract_remaining_edge_reweights.py:26-40), and report, per candidate
+    threshold, the fraction of true/false edges that survive — the data
+    behind the hard-coded 0.1 at helper.py:145.
+
+    Returns {"truth", "weight"} raw samples plus the sweep arrays
+    {"thresholds", "signal_kept", "background_kept"}.
+    """
+    cfg = cfg or PipelineConfig(node_bucket=256, edge_bucket=1024)
+    if thresholds is None:
+        thresholds = np.linspace(0.0, 0.5, 26)
+    truths, weights = [], []
+    for run in range(num_runs):
+        ev = toymc.generate_event(num_tracks=num_tracks, seed=seed + run)
+        g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
+                                 cfg)
+        g = pipeline._prepare_jit(g, cfg)
+        g = pipeline._stage_jit(g, cfg, 1, None)
+        g, _res = pipeline._extract_jit(g, cfg, 1)
+        g = pipeline._stage_jit(g, cfg, 2, None)   # extrapolation + reweight
+        member = np.asarray(g.has_updated & g.active & g.edge_mask)
+        if not member.any():
+            continue
+        src = np.asarray(g.src)[member]
+        dst = np.asarray(g.dst)[member]
+        tr = np.asarray(g.truth)
+        truths.append((tr[src] == tr[dst]).astype(np.int32))
+        weights.append(np.asarray(g.upd_weight)[member])
+    truth = np.concatenate(truths) if truths else np.zeros(0, np.int32)
+    weight = np.concatenate(weights) if weights else np.zeros(0)
+    sig = weight[truth == 1]
+    bkg = weight[truth == 0]
+    signal_kept = np.array([(sig >= t).mean() if sig.size else np.nan
+                            for t in thresholds])
+    background_kept = np.array([(bkg >= t).mean() if bkg.size else np.nan
+                                for t in thresholds])
+    return {"truth": truth, "weight": weight,
+            "thresholds": np.asarray(thresholds),
+            "signal_kept": signal_kept,
+            "background_kept": background_kept}
+
+
 def uniformity_check(pvals: np.ndarray, bins: int = 10) -> Dict[str, float]:
     """Chi-square test that accepted-candidate p-values are uniform
     (check_uniform_dist.py:1-30)."""

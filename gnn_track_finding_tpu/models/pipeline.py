@@ -54,15 +54,22 @@ def cluster_stage(g: GraphState, cfg: PipelineConfig,
     return g
 
 
-def extrapolation_stage(g: GraphState, cfg: PipelineConfig) -> GraphState:
+def extrapolation_stage(g: GraphState, cfg: PipelineConfig,
+                        axis_name=None) -> GraphState:
     """Extrapolation iteration incl. double prior/reweight + degrees
-    (extrapolate_merged_states.py:554-566)."""
-    g = extrapolate.message_passing(g, cfg)
-    g = priors.compute_prior_probabilities(g, use_updated=True)
-    g = priors.reweight(g, cfg)
-    g = priors.compute_prior_probabilities(g, use_updated=True)
-    g = priors.reweight(g, cfg)
-    g = priors.update_degrees(g)
+    (extrapolate_merged_states.py:554-566).
+
+    axis_name: mesh axis of a shard_map edge partition
+    (parallel/edge_shard.py); per-node aggregates then combine across
+    edge shards with explicit psums."""
+    g = extrapolate.message_passing(g, cfg, axis_name=axis_name)
+    g = priors.compute_prior_probabilities(g, use_updated=True,
+                                           axis_name=axis_name)
+    g = priors.reweight(g, cfg, axis_name=axis_name)
+    g = priors.compute_prior_probabilities(g, use_updated=True,
+                                           axis_name=axis_name)
+    g = priors.reweight(g, cfg, axis_name=axis_name)
+    g = priors.update_degrees(g, axis_name=axis_name)
     return g
 
 

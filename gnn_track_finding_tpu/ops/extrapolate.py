@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from gnn_track_finding_tpu.config import PipelineConfig
 from gnn_track_finding_tpu.graph.state import GraphState
-from gnn_track_finding_tpu.ops import linalg
+from gnn_track_finding_tpu.ops import collect, gtools, linalg
 from gnn_track_finding_tpu.ops.seeding import rz_sigmas
 
 
@@ -88,7 +88,7 @@ def _jacobian_and_transport(a, b, c, x_A, sp, cp):
 
 
 def message_passing(g: GraphState, cfg: PipelineConfig,
-                    return_debug: bool = False):
+                    return_debug: bool = False, axis_name=None):
     """One extrapolation round; returns the graph with per-edge updated
     states, chi2-failed edges deactivated, and (bug_compat) the tails'
     merged covariances advanced by their accumulated var_ms.
@@ -96,7 +96,12 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
     return_debug=True additionally returns (chi2, processed_mask) — the
     optional off-critical-path analog of the reference's side-channel
     chi2-vs-truth CSV appends (extrapolate_merged_states.py:284-295),
-    consumed by ops/metrics.chi2_truth_dump."""
+    consumed by ops/metrics.chi2_truth_dump.
+
+    axis_name: mesh axis of the shard_map edge partition
+    (parallel/edge_shard.py).  Edge arrays arrive as local shards; node
+    arrays and the (N, K) tables are replicated, so the only cross-shard
+    traffic is the psum-combine of the out-table activity scatter below."""
     dtype = g.dtype
 
     # one packed row gather for everything node-dynamic at the tail:
@@ -142,8 +147,10 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
         # ~32 GB of traffic; see docs/DESIGN.md).  The active flags arrive
         # by scatter, which IS tile-efficient on TPU.
         otab = g.out_edges
-        proc_slot = jnp.zeros(otab.shape, bool).at[g.src, g.slot_out].max(
-            g.edge_mask & g.active)
+        proc_slot = collect.allor(
+            jnp.zeros(otab.shape, bool).at[g.src, g.slot_out].max(
+                g.edge_mask & g.active),
+            axis_name)
         proc_slot = proc_slot & g.has_merged[:, None] & (otab >= 0)
         head = g.out_head_xyzr                      # (N, K, 4) — refreshed
         # by the driver when extraction merges mutate GNN coordinates
@@ -162,7 +169,11 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
         vms_t = jnp.where(endcap_t, vms_t * jnp.abs(dr_t) / jnp.abs(dz_t), vms_t)
         slot_ms = jnp.where(proc_slot, vms_t, 0.0)
         cum = jnp.cumsum(slot_ms, axis=1)          # inclusive
-        cum_e = jnp.take_along_axis(cum[g.src], g.slot_out[:, None], 1)[:, 0]
+        # flat two-index lookup: a row gather of the K=64-wide cum table
+        # would materialize an (E, K) intermediate (~88 MB at full event);
+        # the flattened width-2 gather moves ~3 MB instead
+        k_tab = otab.shape[1]
+        cum_e = gtools.gather1d(cum.reshape(-1), g.src * k_tab + g.slot_out)
         total_ms = cum[:, -1]
         new_merged_cov = g.merged_cov.at[:, 1, 1].add(
             jnp.where(g.has_merged, total_ms, 0.0))

@@ -31,18 +31,20 @@ import jax.numpy as jnp
 
 from gnn_track_finding_tpu.config import PipelineConfig
 from gnn_track_finding_tpu.graph.state import GraphState
-from gnn_track_finding_tpu.ops import gtools
+from gnn_track_finding_tpu.ops import collect, gtools
 
 
 def _state_membership(g: GraphState, use_updated: bool) -> jax.Array:
     return g.has_updated if use_updated else g.edge_mask
 
 
-def compute_mixture_weights(g: GraphState, use_updated: bool) -> GraphState:
+def compute_mixture_weights(g: GraphState, use_updated: bool,
+                            axis_name=None) -> GraphState:
     """weight = 1 / len(state dict at the head node) (helper.py:88-94)."""
     member = _state_membership(g, use_updated)
     n = g.num_padded_nodes
-    count = jax.ops.segment_sum(member.astype(g.dtype), g.dst, n)
+    count = collect.allsum(
+        jax.ops.segment_sum(member.astype(g.dtype), g.dst, n), axis_name)
     w = 1.0 / jnp.maximum(count, 1.0)
     new_w = jnp.where(member, gtools.gather1d(w, g.dst), 0.0)
     if use_updated:
@@ -50,14 +52,17 @@ def compute_mixture_weights(g: GraphState, use_updated: bool) -> GraphState:
     return g.replace(seed_weight=new_w)
 
 
-def compute_prior_probabilities(g: GraphState, use_updated: bool) -> GraphState:
+def compute_prior_probabilities(g: GraphState, use_updated: bool,
+                                axis_name=None) -> GraphState:
     """prior = 1 / (#active same-src-layer edges into the head node)
     (helper.py:43-63); inactive entries keep their previous prior."""
     member = _state_membership(g, use_updated)
     eligible = member & g.active & g.edge_mask
     key = g.dst * g.n_layers + g.e_src_layer
     num_seg = g.num_padded_nodes * g.n_layers
-    count = jax.ops.segment_sum(eligible.astype(g.dtype), key, num_seg)
+    count = collect.allsum(
+        jax.ops.segment_sum(eligible.astype(g.dtype), key, num_seg),
+        axis_name)
     count_e = gtools.table_lookup(count.reshape(-1, g.n_layers),
                                   g.dst, g.e_src_layer)
     prior = 1.0 / jnp.maximum(count_e, 1.0)
@@ -68,22 +73,22 @@ def compute_prior_probabilities(g: GraphState, use_updated: bool) -> GraphState:
     return g.replace(seed_prior=new)
 
 
-def update_degrees(g: GraphState) -> GraphState:
+def update_degrees(g: GraphState, axis_name=None) -> GraphState:
     """Active in-degree per node (helper.py:67-73)."""
     act = (g.edge_mask & g.active).astype(jnp.int32)
-    deg = jax.ops.segment_sum(act, g.dst, g.num_padded_nodes)
+    deg = collect.allsum(
+        jax.ops.segment_sum(act, g.dst, g.num_padded_nodes), axis_name)
     return g.replace(degree=deg)
 
 
-def _side_norms(g: GraphState) -> jax.Array:
+def _side_norms(g: GraphState, axis_name=None) -> jax.Array:
     """Per-edge distinct-x count of same-side active updated in-edges.
 
     Reference: calculate_side_norm_factor (helper.py:99-139).  The side of
     edge e=(src->dst) is 'left' when x_src < x_dst; the norm is the number
     of DISTINCT x coordinates among the head's active updated in-senders on
-    that side.  Computed edge-parallel by sorting edges on (dst, side, x)
-    and counting first occurrences per (dst, side) segment — O(E log E)
-    with no K x K blowup.
+    that side.  Computed as a masked first-occurrence count over the
+    fixed-K in-edge table (scatter + fused (N, K, K) compare-reduce).
     """
     ok = g.has_updated & g.active & g.edge_mask
     # neighbour x comes from the updated dict's coordinate snapshot
@@ -95,47 +100,54 @@ def _side_norms(g: GraphState) -> jax.Array:
     left = xs < gtools.gather1d(node_x, g.dst)
 
     # slot-space distinct-count: ok flags and snapshot x scatter into the
-    # in-table (scatters are tile-efficient), rows are sorted per side,
-    # and distinct values counted from neighbour differences — no global
-    # sorts, no gathers through the table.
-    ok_slot = jnp.zeros(g.in_edges.shape, bool).at[g.dst, g.slot_in].max(ok)
+    # in-table (scatters are tile-efficient; under the edge partition each
+    # (node, slot) cell has exactly one writer, so the cross-shard combine
+    # is an exact psum).
+    ok_slot = collect.allor(
+        jnp.zeros(g.in_edges.shape, bool).at[g.dst, g.slot_in].max(ok),
+        axis_name)
     # route non-ok edges out of bounds so their writes are DROPPED: padded
     # edges all carry (dst=0, slot_in=0) and a plain duplicate-index .set
     # would race their 0.0 against the real edge occupying that slot
     row = jnp.where(ok, g.dst, g.in_edges.shape[0])
-    x_slot = jnp.zeros(g.in_edges.shape, g.dtype).at[row, g.slot_in].set(
-        xs, mode="drop")
+    x_slot = collect.allsum(
+        jnp.zeros(g.in_edges.shape, g.dtype).at[row, g.slot_in].set(
+            xs, mode="drop"),
+        axis_name)
     left_slot = x_slot < node_x[:, None]
-    inf = jnp.asarray(jnp.inf, g.dtype)
 
-    # One row sort PER SIDE on the raw x values: distinctness must be
-    # counted on exact coordinates to match the reference's len(set(x))
-    # semantics (helper.py:127-134) — a side-offset composite key would
-    # quantize x by ~eps*offset (≈5e-4 in float32), collapsing
-    # near-but-distinct coordinates and silently changing reweighting.
-    def _distinct(keep):
-        s = jnp.sort(jnp.where(keep, x_slot, inf), axis=1)
-        fin = jnp.isfinite(s)
-        newval = jnp.concatenate(
-            [fin[:, :1], fin[:, 1:] & (s[:, 1:] != s[:, :-1])], axis=1)
-        return jnp.sum(newval, axis=1).astype(g.dtype)
-
-    counts = jnp.stack([_distinct(ok_slot & left_slot),
-                        _distinct(ok_slot & ~left_slot)], axis=1)  # (N, 2)
+    # Distinct-x count per (node, side) as a masked first-occurrence count
+    # over (K, K) slot pairs: slot i is 'first' when no earlier ok slot on
+    # the same side carries the same exact x.  Exact equality on raw
+    # values matches the reference's len(set(x)) semantics
+    # (helper.py:127-134) with no float quantization; the (N, K, K)
+    # compare fuses into the two row reductions, replacing the two (N, K)
+    # row sorts per call (the former hot spot of the reweight chain).
+    k_tab = x_slot.shape[1]
+    eqx = x_slot[:, :, None] == x_slot[:, None, :]
+    same_side = left_slot[:, :, None] == left_slot[:, None, :]
+    earlier = jnp.tril(jnp.ones((k_tab, k_tab), bool), k=-1)   # j < i
+    dup_before = jnp.any(
+        eqx & same_side & ok_slot[:, None, :] & earlier[None], axis=2)
+    first = ok_slot & ~dup_before
+    counts = jnp.stack([
+        jnp.sum(first & left_slot, axis=1),
+        jnp.sum(first & ~left_slot, axis=1)], axis=1).astype(g.dtype)  # (N, 2)
     side = jnp.where(left, 0, 1)
     norms = jnp.where(ok, gtools.table_lookup(counts, g.dst, side), 1.0)
     return jnp.maximum(norms, 1.0)
 
 
-def reweight(g: GraphState, cfg: PipelineConfig) -> GraphState:
+def reweight(g: GraphState, cfg: PipelineConfig,
+             axis_name=None) -> GraphState:
     """Gaussian-mixture reweighting with threshold deactivation
     (helper.py:143-201): w' = w * L * prior / sum(w * L) / side_norm, then
     deactivate edges with w' < reweight_threshold."""
     member = g.has_updated & g.active & g.edge_mask
     n = g.num_padded_nodes
     wl = jnp.where(member, g.upd_weight * g.upd_likelihood, 0.0)
-    denom = jax.ops.segment_sum(wl, g.dst, n)
-    norms = _side_norms(g)
+    denom = collect.allsum(jax.ops.segment_sum(wl, g.dst, n), axis_name)
+    norms = _side_norms(g, axis_name)
     denom_e = gtools.gather1d(denom, g.dst)
     from gnn_track_finding_tpu.ops import linalg
     w_new = wl * g.upd_prior / jnp.maximum(denom_e, linalg.tiny(g.dtype)) / norms

@@ -1,0 +1,122 @@
+"""Explicit edge-partitioned message passing via shard_map.
+
+The scale-out axis of this workload is the directed-edge count (SURVEY.md
+section 5: the sequence-parallel analog).  `parallel/mesh.py` covers the
+event-batch "data" axis; this module partitions ONE event's edge arrays
+across the "edge" mesh axis with a designed communication pattern instead
+of XLA auto-SPMD:
+
+  * edge arrays (seed/updated states, activation, endpoints) are split
+    into contiguous blocks, one per device — pairs stay intact because
+    every edge is stored adjacent to its reverse (build.py:94-99) and
+    shard sizes are even;
+  * node arrays and the fixed-K per-node tables are REPLICATED: node
+    state is the boundary data every shard needs (the gather side of the
+    reference's scatter at extrapolate_merged_states.py:441-447), and at
+    ~100 B/node it is far cheaper to replicate than the edge state is to
+    shard;
+  * every per-node aggregate (segment sums for priors/reweight/degrees,
+    the one-writer-per-slot table scatters) computes a LOCAL partial and
+    combines with ONE explicit psum over the edge axis
+    (ops/collect.allsum/allor) — the boundary-node exchange, riding ICI.
+
+Per extrapolation stage the collective traffic is fixed and independent
+of E: two (N, K) table psums + one (N,) psum per reweight, one (N, K)
+bool-table psum in message passing, one (N·L,) psum per prior pass and
+one (N,) degree psum — ~6 MB at full-event N with K=64, vs the ~44 MB of
+per-shard edge state it would take to replicate the edge arrays.
+
+Auto-SPMD (jit + NamedSharding on the edge axis, parallel/mesh.py) is the
+fallback the dryrun exercises; `tools/profile_edge_shard.py` counts the
+collectives both lowerings emit, and tests/test_edge_shard.py asserts the
+shard_map path matches the single-device stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at the top level
+    from jax import shard_map as _shard_map_mod  # type: ignore
+
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+except (ImportError, AttributeError):
+    from jax.experimental.shard_map import shard_map as _sm
+
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+from gnn_track_finding_tpu.graph.state import GraphState
+
+# Directed-edge arrays (leading axis E).  Everything else — node arrays,
+# (N, K) tables, static caches — is replicated.  Field NAMES (not shapes)
+# decide: padded N and E can coincide.
+EDGE_FIELDS = frozenset({
+    "edge_mask", "src", "dst", "reverse", "active",
+    "seed_sv", "seed_cov", "seed_joint", "seed_joint_cov",
+    "seed_prior", "seed_weight",
+    "has_updated", "upd_sv", "upd_cov", "upd_joint", "upd_joint_cov",
+    "upd_prior", "upd_weight", "upd_likelihood", "upd_xyzr",
+    "slot_in", "slot_out", "e_xyzr", "e_src_layer", "mirror",
+})
+
+
+def graph_pspecs(g: GraphState, axis: str = "edge") -> GraphState:
+    """A GraphState-shaped pytree of PartitionSpecs: edge arrays split on
+    `axis`, node arrays and tables replicated."""
+    kwargs = {}
+    for f in dataclasses.fields(GraphState):
+        if not f.metadata.get("pytree_node", True):
+            kwargs[f.name] = getattr(g, f.name)
+        elif f.name in EDGE_FIELDS:
+            kwargs[f.name] = P(axis)
+        else:
+            kwargs[f.name] = P()
+    return GraphState(**kwargs)
+
+
+def graph_shardings(g: GraphState, mesh: Mesh, axis: str = "edge"
+                    ) -> GraphState:
+    specs = graph_pspecs(g, axis)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_graph(g: GraphState, mesh: Mesh, axis: str = "edge") -> GraphState:
+    """Place an event on the mesh under the edge partition."""
+    n_shards = mesh.shape[axis]
+    assert g.num_padded_edges % (2 * n_shards) == 0, (
+        "edge shards must be even-sized so reverse-edge pairs stay local",
+        g.num_padded_edges, n_shards)
+    return jax.tree.map(jax.device_put, g, graph_shardings(g, mesh, axis))
+
+
+def extrapolation_stage_sharded(cfg, mesh: Mesh, axis: str = "edge"):
+    """Jitted edge-partitioned extrapolation stage: shard_map over `axis`
+    with the explicit psum combines inside (ops threading axis_name)."""
+    from gnn_track_finding_tpu.models import pipeline
+
+    def run(g: GraphState) -> GraphState:
+        specs = graph_pspecs(g, axis)
+        fn = _shard_map(
+            partial(pipeline.extrapolation_stage, cfg=cfg, axis_name=axis),
+            mesh, in_specs=(specs,), out_specs=specs)
+        return fn(g)
+
+    return jax.jit(run)
+
+
+def edge_mesh(n: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-D ("edge",) mesh over the first n devices."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    n = n or len(devices)
+    return Mesh(np.asarray(devices[:n]), ("edge",))

@@ -20,6 +20,23 @@ def test_training_data_shape_and_truth():
     assert kl[truth == 1].mean() < kl[truth == 0].mean()
 
 
+def test_trackml_metadata_extractor_matches_host_rows():
+    """The batched device extractor (ref extract_metadata_trackml_
+    parabolic_model.py:15-99 analog) emits the same row multiset as the
+    per-node host loop."""
+    import jax.numpy as jnp
+    ev = toymc.generate_event(num_tracks=20, seed=5)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
+                             CFG, dtype=jnp.float64)
+    g = pipeline._prepare_jit(g, CFG)
+    rows_dev = training_data.extract_metadata_trackml(CFG, g=g, block=48)
+    rows_host = training_data._pairwise_rows(g, CFG)
+    assert rows_dev.shape == rows_host.shape
+    a = rows_dev[np.lexsort(rows_dev.T)]
+    b = rows_host[np.lexsort(rows_host.T)]
+    np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
 def test_lut_quantile_roundtrip(tmp_path):
     rows = training_data.generate_training_data(num_events=5, seed=1, cfg=CFG,
                                                 num_tracks=12)

@@ -1,0 +1,94 @@
+"""Edge-partitioned extrapolation: shard_map vs single device.
+
+The edge axis is this workload's sequence-parallel analog (SURVEY.md
+section 5); parallel/edge_shard.py partitions one event's directed-edge
+arrays over the mesh with explicit psum combines for every per-node
+aggregate.  These tests pin (a) numerical agreement with the single-device
+stage on the 8-virtual-device CPU mesh, and (b) that the designed
+communication pattern actually lowers to all-reduces of node-sized
+aggregates — not all-gathers of edge-sized state.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnn_track_finding_tpu.config import PipelineConfig
+from gnn_track_finding_tpu.graph.build import build_graph_state
+from gnn_track_finding_tpu.models import toymc, pipeline
+from gnn_track_finding_tpu.parallel import edge_shard
+
+CFG = PipelineConfig(node_bucket=64, edge_bucket=256)
+
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _staged_graph(num_tracks=20, seed=3):
+    ev = toymc.generate_event(num_tracks=num_tracks, seed=seed)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
+                             CFG, dtype=jnp.float64)
+    g = pipeline._prepare_jit(g, CFG)
+    g = pipeline._stage_jit(g, CFG, 1, None)   # clustering -> merged states
+    return g
+
+
+@needs_mesh
+def test_edge_sharded_stage_matches_single_device():
+    g = _staged_graph()
+    single = jax.jit(pipeline.extrapolation_stage,
+                     static_argnums=1)(g, CFG)
+
+    mesh = edge_shard.edge_mesh(8)
+    gs = edge_shard.shard_graph(g, mesh)
+    sharded = edge_shard.extrapolation_stage_sharded(CFG, mesh)(gs)
+
+    for f in dataclasses.fields(type(g)):
+        if not f.metadata.get("pytree_node", True):
+            continue
+        a = np.asarray(getattr(single, f.name))
+        b = np.asarray(getattr(sharded, f.name))
+        if a.dtype == bool or np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b, err_msg=f.name)
+        else:
+            # psum reassociates float segment sums at shard boundaries;
+            # everything else is bitwise identical
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-300,
+                                       err_msg=f.name)
+
+
+@needs_mesh
+def test_edge_sharded_lowering_uses_node_sized_allreduce_only():
+    g = _staged_graph()
+    mesh = edge_shard.edge_mesh(8)
+    gs = edge_shard.shard_graph(g, mesh)
+    txt = (edge_shard.extrapolation_stage_sharded(CFG, mesh)
+           .lower(gs).compile().as_text())
+    n_allreduce = txt.count("all-reduce-start") or txt.count(" all-reduce(")
+    assert n_allreduce >= 1, "expected psum combines in the lowering"
+    # the designed exchange is node-sized aggregates only: an all-gather
+    # materialising a full edge-sized array would mean the partition
+    # degenerated to replication
+    e_local = g.num_padded_edges // 8
+    for line in txt.splitlines():
+        if "all-gather" in line and f"{g.num_padded_edges}]" in line:
+            raise AssertionError(f"edge-sized all-gather in lowering: "
+                                 f"{line.strip()} (shard={e_local})")
+
+
+@needs_mesh
+def test_edge_sharded_pair_swap_stays_local():
+    # reverse-edge weight lookup is a pair swap (build interleaves e, e^1);
+    # shard sizes must keep pairs intact
+    g = _staged_graph()
+    mesh = edge_shard.edge_mesh(8)
+    assert g.num_padded_edges % (2 * 8) == 0
+    gs = edge_shard.shard_graph(g, mesh)
+    out = edge_shard.extrapolation_stage_sharded(CFG, mesh)(gs)
+    single = jax.jit(pipeline.extrapolation_stage,
+                     static_argnums=1)(g, CFG)
+    np.testing.assert_allclose(np.asarray(out.upd_weight),
+                               np.asarray(single.upd_weight), rtol=1e-12)

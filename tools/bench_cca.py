@@ -5,6 +5,10 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_cca.py
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -11,6 +11,10 @@ Usage: PYTHONPATH=/root/repo python tools/profile_extrap_parts.py [--n 20]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time
@@ -108,7 +112,9 @@ def main() -> None:
         vms_t = jnp.where(endcap_t, vms_t * jnp.abs(dr_t) / jnp.abs(dz_t), vms_t)
         slot_ms = jnp.where(proc_slot, vms_t, 0.0)
         cum = jnp.cumsum(slot_ms, axis=1)
-        cum_e = jnp.take_along_axis(cum[s.src], s.slot_out[:, None], 1)[:, 0]
+        from gnn_track_finding_tpu.ops import gtools
+        k_tab = otab.shape[1]
+        cum_e = gtools.gather1d(cum.reshape(-1), s.src * k_tab + s.slot_out)
         return cum_e.sum() + cum[:, -1].sum()
 
     def p_edge_math(s, chk):
@@ -173,7 +179,29 @@ def main() -> None:
         out = pipeline.extrapolation_stage(s, cfg)
         return out.upd_sv.sum() + out.active.sum().astype(s.dtype)
 
+    def p_degrees(s, chk):
+        s = s.replace(upd_weight=perturb(s.upd_weight, chk))
+        return priors.update_degrees(s).degree.sum().astype(s.dtype)
+
+    def p_mp_pr_rw(s, chk):
+        s = s.replace(merged_state=perturb(s.merged_state, chk))
+        s = extrapolate.message_passing(s, cfg)
+        s = priors.compute_prior_probabilities(s, True)
+        s = priors.reweight(s, cfg)
+        return s.upd_sv.sum() + s.active.sum().astype(s.dtype)
+
+    def p_two_rw(s, chk):
+        s = s.replace(upd_weight=perturb(s.upd_weight, chk))
+        s = priors.compute_prior_probabilities(s, True)
+        s = priors.reweight(s, cfg)
+        s = priors.compute_prior_probabilities(s, True)
+        s = priors.reweight(s, cfg)
+        return s.upd_weight.sum() + s.active.sum().astype(s.dtype)
+
     measure("FULL extrapolation_stage", p_stage)
+    measure("mp + prior + reweight", p_mp_pr_rw)
+    measure("(prior + reweight) x2", p_two_rw)
+    measure("update_degrees", p_degrees)
     measure("message_passing", p_mp)
     measure("  packed[src] gather (E,17)", p_packed_gather)
     measure("  gnn_xyzr[dst] gather (E,4)", p_dst_gather)

@@ -6,6 +6,10 @@ Hypothesis: minor dims of size 3 waste the (8,128) VPU tile, so batched
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

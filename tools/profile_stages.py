@@ -10,6 +10,10 @@ Usage: python tools/profile_stages.py [--volumes 7 14] [--n 20] [--f64]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import functools
 import sys
