@@ -66,6 +66,57 @@ def hits_in_region(truth_csv: str, cfg: PipelineConfig) -> Dict[int, int]:
     return hits.groupby("particle_id").size().to_dict()
 
 
+def evaluate_toy(candidate_node_lists: Sequence[Sequence[int]],
+                 truth: np.ndarray, vivl: np.ndarray,
+                 cfg: PipelineConfig) -> EfficiencyReport:
+    """Reconstruction efficiency on a toy event (1 hit == 1 node).
+
+    Same matching rules as the TrackML evaluator / the reference
+    (reconstruction_efficiency.py:66,155-187,213-218): reference track =
+    particle with >= eval_min_layers distinct layers; matched when the
+    candidate's majority particle contributes >= 50% of that particle's
+    hits and track & particle purity are >= eval_purity_cut, with the
+    double-count guard.  The pT cut does not apply (toy tracks carry no
+    momentum).  This is the non-vacuous efficiency workload: the committed
+    TrackML network yields 0 reconstructable tracks under every exposed
+    reference configuration (BASELINE.md), while toy events reconstruct.
+    """
+    truth = np.asarray(truth)
+    vivl = np.asarray(vivl)
+    refs: Dict[int, int] = {}
+    for pid in np.unique(truth):
+        if pid < 0:
+            continue
+        sel = truth == pid
+        layers = {(int(v), int(l)) for v, l in vivl[sel]}
+        if len(layers) >= cfg.eval_min_layers:
+            refs[int(pid)] = int(sel.sum())
+
+    reconstructed = set()
+    track_pur, particle_pur = [], []
+    for nodes in candidate_node_lists:
+        pids = [int(truth[int(n)]) for n in nodes]
+        if not pids:
+            continue
+        freq = Counter(pids)
+        pid = max(freq, key=freq.get)
+        n_good = freq[pid]
+        if pid not in refs or n_good < 0.5 * refs[pid]:
+            continue
+        tp = n_good / len(pids)
+        pp = n_good / refs[pid]
+        if tp >= cfg.eval_purity_cut and pp >= cfg.eval_purity_cut:
+            if pid not in reconstructed:
+                reconstructed.add(pid)
+                track_pur.append(tp)
+                particle_pur.append(pp)
+    return EfficiencyReport(
+        num_reference=len(refs), num_reconstructed=len(reconstructed),
+        efficiency_pct=100.0 * len(reconstructed) / max(len(refs), 1),
+        track_purities=np.asarray(track_pur),
+        particle_purities=np.asarray(particle_pur))
+
+
 def evaluate(candidate_node_lists: Sequence[np.ndarray], host: HostEvent,
              particles_csv: str, truth_csv: str,
              cfg: PipelineConfig) -> EfficiencyReport:

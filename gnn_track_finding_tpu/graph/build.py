@@ -96,7 +96,8 @@ def build_graph_state(
     dst = np.empty(e, np.int32)
     src[0::2], dst[0::2] = pairs[:, 0], pairs[:, 1]
     src[1::2], dst[1::2] = pairs[:, 1], pairs[:, 0]
-    reverse = np.arange(e, dtype=np.int32) ^ 1
+    # reverse of edge e is e ^ 1 by this interleaving (relied on by the
+    # pair-swap weight lookup, ops/extrapolate.py)
 
     # -- components (event_conversion.py:84) --
     component = connected_components_host(n, pairs)
@@ -193,7 +194,6 @@ def build_graph_state(
         merged_prior=f(n_pad), grad_stats=f(n_pad, 4),
         edge_mask=jnp.asarray(edge_mask),
         src=jnp.asarray(pade(src)), dst=jnp.asarray(pade(dst)),
-        reverse=jnp.asarray(pade(reverse)),
         active=jnp.asarray(edge_mask),
         seed_sv=f(e_pad, 3), seed_cov=f(e_pad, 3, 3),
         seed_joint=f(e_pad, 3), seed_joint_cov=f(e_pad, 3, 3),

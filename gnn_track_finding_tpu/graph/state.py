@@ -72,7 +72,9 @@ class GraphState:
     edge_mask: jax.Array      # (E,)   bool: edge exists (both endpoints alive)
     src: jax.Array            # (E,)   int32 tail node
     dst: jax.Array            # (E,)   int32 head node (owns the edge state)
-    reverse: jax.Array        # (E,)   int32 index of the (dst -> src) edge
+    # NOTE: the (dst -> src) reverse of edge e is e ^ 1 BY CONSTRUCTION
+    # (build.py interleaves each pair); ops use the pair swap directly, so
+    # no reverse-index array is stored.
     active: jax.Array         # (E,)   bool 'activated' flag
 
     seed_sv: jax.Array        # (E,3)   parabolic [a, b, c] seed
@@ -158,7 +160,7 @@ def blank_state(n_pad: int, e_pad: int, k: int, n_layers: int,
         merged_cov=f(n_pad, 3, 3), merged_prior=f(n_pad),
         grad_stats=f(n_pad, 4),
         edge_mask=b(e_pad), src=i(e_pad), dst=i(e_pad),
-        reverse=i(e_pad), active=b(e_pad),
+        active=b(e_pad),
         seed_sv=f(e_pad, 3), seed_cov=f(e_pad, 3, 3),
         seed_joint=f(e_pad, 3), seed_joint_cov=f(e_pad, 3, 3),
         seed_prior=f(e_pad), seed_weight=f(e_pad),

@@ -149,7 +149,11 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     if backend is None:
         # axon-plugin images expose the same TPU chip under platform name
         # 'axon' (utils/platform.py) — the pallas kernel runs there too.
-        backend = ("pallas" if jax.default_backend() in ("tpu", "axon")
+        # float64 (the CPU parity mode) never resolves to pallas: the TPU
+        # kernel is float32-only and tracing it under x64 recurses.
+        backend = ("pallas"
+                   if (jax.default_backend() in ("tpu", "axon")
+                       and g.dtype != jnp.float64)
                    else "xla")
     dtype = g.dtype
     member = (g.has_updated if use_updated else g.edge_mask) & g.edge_mask

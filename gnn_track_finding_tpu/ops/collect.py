@@ -40,7 +40,8 @@ def allsum(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
 
 def allor(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
     """OR partial boolean tables across edge shards (identity when
-    unsharded); exact for one-writer-per-slot scatters."""
+    unsharded); exact for one-writer-per-slot scatters.  Rides a u8
+    all-reduce — 4x fewer bytes than int32 for the (N, K) tables."""
     if axis_name is None:
         return x
-    return jax.lax.psum(x.astype(jnp.int32), axis_name) > 0
+    return jax.lax.psum(x.astype(jnp.uint8), axis_name) > 0

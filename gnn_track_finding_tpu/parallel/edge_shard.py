@@ -60,7 +60,7 @@ from gnn_track_finding_tpu.graph.state import GraphState
 # (N, K) tables, static caches — is replicated.  Field NAMES (not shapes)
 # decide: padded N and E can coincide.
 EDGE_FIELDS = frozenset({
-    "edge_mask", "src", "dst", "reverse", "active",
+    "edge_mask", "src", "dst", "active",
     "seed_sv", "seed_cov", "seed_joint", "seed_joint_cov",
     "seed_prior", "seed_weight",
     "has_updated", "upd_sv", "upd_cov", "upd_joint", "upd_joint_cov",

@@ -37,10 +37,14 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
+    if not args.f32:
+        # float64 is the CPU parity mode (reference numerics); the TPU has
+        # no f64 hardware.  Force the platform BEFORE first jax use — the
+        # axon sitecustomize preset otherwise wins (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     from gnn_track_finding_tpu.utils.platform import ensure_backend
     ensure_backend()
-    if not args.f32:
-        jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

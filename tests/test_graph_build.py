@@ -23,9 +23,11 @@ def test_shapes_and_masks():
     assert int(g.edge_mask.sum()) == g.n_edges
     assert g.num_padded_nodes % CFG.node_bucket == 0
     assert g.num_padded_edges % CFG.edge_bucket == 0
-    # bidirectional: reverse of reverse is identity, endpoints swap
+    # bidirectional interleaving contract: the reverse of edge e is e ^ 1
+    # (ops rely on it for the pair-swap weight lookup, no reverse index
+    # array needed)
     e = g.n_edges
-    rev = np.asarray(g.reverse)[:e]
+    rev = np.arange(e) ^ 1
     src = np.asarray(g.src)[:e]
     dst = np.asarray(g.dst)[:e]
     assert np.array_equal(src[rev], dst)
