@@ -216,6 +216,10 @@ def build_graph_state(
         in_src_x=jnp.asarray(
             padn(np.where(in_tab >= 0,
                           xyzr[src[np.maximum(in_tab, 0)], 0], 0.0)), dtype),
+        in_src_layer=jnp.asarray(
+            padn(np.where(in_tab >= 0,
+                          layer_idx[src[np.maximum(in_tab, 0)]], -1)
+                 .astype(np.int32), fill=-1)),
         mirror=jnp.asarray(pade(mirror)),
     )
     host = HostEvent(

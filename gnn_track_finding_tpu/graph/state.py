@@ -123,6 +123,10 @@ class GraphState:
     # static tail (src) x coordinate of each in-table slot (reweight's
     # side-norm distinct-count runs as row sorts over this cache)
     in_src_x: jax.Array       # (N, K)
+    # static tail (src) dense layer index of each in-table slot (-1 pad):
+    # the prior's per-(node, layer) eligible-count reduces over the table
+    # instead of a segment scatter (ops/priors.prior_reweight)
+    in_src_layer: jax.Array   # (N, K) int32
     # static mirror edge for the reference's tau/parabola pairing defect:
     # helper.py:349-375 reverses coords/keys but indexes the tau/theta
     # lists with the un-reversed loop variable, so the seed state of the
@@ -174,5 +178,6 @@ def blank_state(n_pad: int, e_pad: int, k: int, n_layers: int,
         e_xyzr=f(e_pad, 8), e_src_layer=i(e_pad),
         out_head_xyzr=f(n_pad, k, 4),
         in_src_x=f(n_pad, k),
+        in_src_layer=jnp.full((n_pad, k), -1, jnp.int32),
         mirror=i(e_pad),
     )

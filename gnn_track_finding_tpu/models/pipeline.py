@@ -63,12 +63,8 @@ def extrapolation_stage(g: GraphState, cfg: PipelineConfig,
     (parallel/edge_shard.py); per-node aggregates then combine across
     edge shards with explicit psums."""
     g = extrapolate.message_passing(g, cfg, axis_name=axis_name)
-    g = priors.compute_prior_probabilities(g, use_updated=True,
-                                           axis_name=axis_name)
-    g = priors.reweight(g, cfg, axis_name=axis_name)
-    g = priors.compute_prior_probabilities(g, use_updated=True,
-                                           axis_name=axis_name)
-    g = priors.reweight(g, cfg, axis_name=axis_name)
+    g = priors.prior_reweight(g, cfg, axis_name=axis_name)
+    g = priors.prior_reweight(g, cfg, axis_name=axis_name)
     g = priors.update_degrees(g, axis_name=axis_name)
     return g
 

@@ -169,11 +169,18 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
         vms_t = jnp.where(endcap_t, vms_t * jnp.abs(dr_t) / jnp.abs(dz_t), vms_t)
         slot_ms = jnp.where(proc_slot, vms_t, 0.0)
         cum = jnp.cumsum(slot_ms, axis=1)          # inclusive
-        # flat two-index lookup: a row gather of the K=64-wide cum table
-        # would materialize an (E, K) intermediate (~88 MB at full event);
-        # the flattened width-2 gather moves ~3 MB instead
+        # two-index lookup via width-8 rows: the K-wide row gather
+        # materializes an (E, K) intermediate (~88 MB at full event) and a
+        # flat width-2 gather tile-amplifies over N*K rows — the width-8
+        # regrouping measured fastest (4.9 vs 5.9 vs 8.3 ms, see
+        # tools/profile_extrap_parts.py history)
         k_tab = otab.shape[1]
-        cum_e = gtools.gather1d(cum.reshape(-1), g.src * k_tab + g.slot_out)
+        idx = g.src * k_tab + g.slot_out
+        if k_tab % 8 == 0:
+            cum_e = jnp.take_along_axis(
+                cum.reshape(-1, 8)[idx // 8], (idx % 8)[:, None], 1)[:, 0]
+        else:
+            cum_e = gtools.gather1d(cum.reshape(-1), idx)
         total_ms = cum[:, -1]
         new_merged_cov = g.merged_cov.at[:, 1, 1].add(
             jnp.where(g.has_merged, total_ms, 0.0))

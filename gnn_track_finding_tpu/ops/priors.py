@@ -115,14 +115,17 @@ def _side_norms(g: GraphState, axis_name=None) -> jax.Array:
             xs, mode="drop"),
         axis_name)
     left_slot = x_slot < node_x[:, None]
+    counts = _distinct_counts(ok_slot, x_slot, left_slot, g.dtype)  # (N, 2)
+    side = jnp.where(left, 0, 1)
+    norms = jnp.where(ok, gtools.table_lookup(counts, g.dst, side), 1.0)
+    return jnp.maximum(norms, 1.0)
 
-    # Distinct-x count per (node, side) as a masked first-occurrence count
-    # over (K, K) slot pairs: slot i is 'first' when no earlier ok slot on
-    # the same side carries the same exact x.  Exact equality on raw
-    # values matches the reference's len(set(x)) semantics
-    # (helper.py:127-134) with no float quantization; the (N, K, K)
-    # compare fuses into the two row reductions, replacing the two (N, K)
-    # row sorts per call (the former hot spot of the reweight chain).
+
+def _distinct_counts(ok_slot: jax.Array, x_slot: jax.Array,
+                     left_slot: jax.Array, dtype) -> jax.Array:
+    """(N, 2) distinct-x count per (node, side) — masked first-occurrence
+    count over (K, K) slot pairs, exact equality on raw values
+    (helper.py:127-134 len(set(x)) semantics)."""
     k_tab = x_slot.shape[1]
     eqx = x_slot[:, :, None] == x_slot[:, None, :]
     same_side = left_slot[:, :, None] == left_slot[:, None, :]
@@ -130,12 +133,88 @@ def _side_norms(g: GraphState, axis_name=None) -> jax.Array:
     dup_before = jnp.any(
         eqx & same_side & ok_slot[:, None, :] & earlier[None], axis=2)
     first = ok_slot & ~dup_before
-    counts = jnp.stack([
+    return jnp.stack([
         jnp.sum(first & left_slot, axis=1),
-        jnp.sum(first & ~left_slot, axis=1)], axis=1).astype(g.dtype)  # (N, 2)
+        jnp.sum(first & ~left_slot, axis=1)], axis=1).astype(dtype)
+
+
+def prior_reweight(g: GraphState, cfg: PipelineConfig,
+                   axis_name=None) -> GraphState:
+    """Fused prior recompute + Gaussian-mixture reweight — one pass of the
+    reference's back-to-back calls (extrapolate_merged_states.py:554-559).
+
+    The prior's eligibility set (helper.py:49-52) and the reweight's
+    membership (helper.py:158-161) are the SAME predicate
+    (updated & active & existing), so the pair shares ONE in-table scatter
+    pass and ONE packed node-table row gather:
+
+      * prior per-(node, src-layer) counts reduce over the scattered
+        ok table against the static in_src_layer cache — no second
+        segment scatter (the (N*L)-segment scatter + (E, L) row gather
+        was ~8 ms/pass at full event);
+      * denom, node x, and the side-norm distinct counts ride the same
+        packed (N, L+4) table, gathered once per edge.
+
+    Numerics are identical to compute_prior_probabilities -> reweight
+    (integer counts; same denom segment_sum; same distinct-count block) —
+    asserted in tests/test_extrapolate.py.
+    """
+    member = g.has_updated & g.active & g.edge_mask
+    n = g.num_padded_nodes
+    n_l = g.n_layers
+    dtype = g.dtype
+
+    # --- one shared scatter pass into the in-edge table ---
+    ok_slot = collect.allor(
+        jnp.zeros(g.in_edges.shape, bool).at[g.dst, g.slot_in].max(member),
+        axis_name)
+    xs = g.upd_xyzr[:, 0]
+    row = jnp.where(member, g.dst, g.in_edges.shape[0])
+    x_slot = collect.allsum(
+        jnp.zeros(g.in_edges.shape, g.dtype).at[row, g.slot_in].set(
+            xs, mode="drop"),
+        axis_name)
+
+    # --- per-(node, layer) eligible counts from the static layer cache ---
+    count_nl = jnp.stack(
+        [jnp.sum(ok_slot & (g.in_src_layer == l), axis=1)
+         for l in range(n_l)], axis=1).astype(dtype)           # (N, L)
+
+    # --- side-norm distinct counts ---
+    node_x = g.gnn_xyzr[:, 0]
+    left_slot = x_slot < node_x[:, None]
+    counts2 = _distinct_counts(ok_slot, x_slot, left_slot, dtype)
+
+    # --- mixture denominator (weight-dependent -> segment sum) ---
+    wl = jnp.where(member, g.upd_weight * g.upd_likelihood, 0.0)
+    denom = collect.allsum(jax.ops.segment_sum(wl, g.dst, n), axis_name)
+
+    # --- ONE packed node-table row gather for everything per-edge ---
+    table = jnp.concatenate([count_nl, denom[:, None], node_x[:, None],
+                             counts2], axis=1)                 # (N, L+4)
+    pe = table[g.dst]                                          # (E, L+4)
+    count_e = jnp.take_along_axis(pe[:, :n_l],
+                                  g.e_src_layer[:, None], 1)[:, 0]
+    denom_e = pe[:, n_l]
+    node_x_e = pe[:, n_l + 1]
+
+    prior = 1.0 / jnp.maximum(count_e, 1.0)
+    new_prior = jnp.where(member, prior, g.upd_prior)
+
+    left = xs < node_x_e
     side = jnp.where(left, 0, 1)
-    norms = jnp.where(ok, gtools.table_lookup(counts, g.dst, side), 1.0)
-    return jnp.maximum(norms, 1.0)
+    norms = jnp.where(
+        member,
+        jnp.take_along_axis(pe[:, n_l + 2:n_l + 4], side[:, None], 1)[:, 0],
+        1.0)
+    norms = jnp.maximum(norms, 1.0)
+
+    from gnn_track_finding_tpu.ops import linalg
+    w_new = wl * new_prior / jnp.maximum(denom_e, linalg.tiny(dtype)) / norms
+    new_weight = jnp.where(member, w_new, g.upd_weight)
+    drop = member & (w_new < cfg.reweight_threshold)
+    return g.replace(upd_prior=new_prior, upd_weight=new_weight,
+                     active=g.active & ~drop)
 
 
 def reweight(g: GraphState, cfg: PipelineConfig,

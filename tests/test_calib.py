@@ -69,3 +69,30 @@ def test_cluster_with_lut_thresholds_runs():
     thr = jnp.asarray(table.thresholds_for(np.asarray(g.grad_stats)[:, 1]))
     out = pipeline.run_pipeline(g, CFG, kl_thresholds=thr)
     assert len(out.candidates) > 0
+
+
+def test_calib_plots_and_lut_study(tmp_path):
+    """Downsample/balancing (downsample.py:6-24), decision-boundary plot
+    (train_svm.py:200-275), parabolic-vs-linear comparison, LUT-effect
+    confusion study."""
+    from gnn_track_finding_tpu.calib import plots
+
+    rows = training_data.generate_training_data(num_events=4, seed=3,
+                                                cfg=CFG, num_tracks=12)
+    sub = plots.downsample(rows, 200, balance=True)
+    pos = (sub[:, 3] == 1).sum()
+    neg = (sub[:, 3] == 0).sum()
+    assert neg <= pos or neg <= 200
+    plots.plot_training_scatter(rows, str(tmp_path / "scatter.png"))
+    assert (tmp_path / "scatter.png").exists()
+    m = plots.plot_decision_boundary(rows, str(tmp_path / "boundary.png"))
+    assert (tmp_path / "boundary.png").exists()
+    assert 0.0 < m["recall"] <= 1.0
+
+    pv = plots.parabolic_vs_linear(num_events=6, seed=0)
+    assert pv["parabolic"]["separation"] > pv["linear"]["separation"]
+
+    eff = plots.lut_effect_study(num_events=2, seed=50, train_events=5)
+    assert set(eff) == {"fixed", "lut"}
+    for v in eff.values():
+        assert 0.0 <= v["precision"] <= 1.0

@@ -88,3 +88,35 @@ def test_extrapolation_stage_matches_oracle():
         if "merged_cov" in G.nodes[node]:
             np.testing.assert_allclose(mc[node], G.nodes[node]["merged_cov"],
                                        rtol=1e-6, atol=1e-12)
+
+
+def test_prior_reweight_fused_matches_separate():
+    """The fused prior+reweight pass (one shared table scatter + one
+    packed node-table gather) is numerically identical to
+    compute_prior_probabilities -> reweight."""
+    import jax
+    from gnn_track_finding_tpu.models import pipeline as pl
+    from gnn_track_finding_tpu.ops import priors
+
+    ev = toymc.generate_event(seed=9, num_tracks=18, edge_dphi_window=0.12)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    g = pl._prepare_jit(g, CFG)
+    g = pl._stage_jit(g, CFG, 1, None)
+    from gnn_track_finding_tpu.ops import extrapolate
+    g = jax.jit(extrapolate.message_passing, static_argnums=1)(g, CFG)
+
+    a = priors.reweight(
+        priors.compute_prior_probabilities(g, use_updated=True), CFG)
+    b = priors.prior_reweight(g, CFG)
+    np.testing.assert_array_equal(np.asarray(a.active), np.asarray(b.active))
+    np.testing.assert_array_equal(np.asarray(a.upd_prior),
+                                  np.asarray(b.upd_prior))
+    np.testing.assert_array_equal(np.asarray(a.upd_weight),
+                                  np.asarray(b.upd_weight))
+    # and a second fused round on the first round's output
+    a2 = priors.reweight(
+        priors.compute_prior_probabilities(a, use_updated=True), CFG)
+    b2 = priors.prior_reweight(b, CFG)
+    np.testing.assert_array_equal(np.asarray(a2.active), np.asarray(b2.active))
+    np.testing.assert_array_equal(np.asarray(a2.upd_weight),
+                                  np.asarray(b2.upd_weight))
