@@ -52,14 +52,24 @@ def _compact_member_edges(g: GraphState, member_slot: jax.Array,
     """First kc member in-edges per node, in insertion order.
 
     Returns (edge_idx (N, kc) int32 with -1 padding, member_count (N,)).
+
+    Each member edge's compact position is its rank among the head's
+    member in-edges (an inclusive cumsum over the slot table), and the
+    compact table fills by an edge-space scatter — one writer per cell.
+    The previous stable argsort over the (N, K) table measured ~97 ms at
+    full event vs ~3 ms for this form (tools/profile_lookup_forms.py).
     """
-    tab = g.in_edges                      # (N, K)
-    valid = member_slot
-    order = jnp.argsort(~valid, axis=1, stable=True)
-    sorted_tab = jnp.take_along_axis(tab, order, axis=1)
-    sorted_valid = jnp.take_along_axis(valid, order, axis=1)
-    compact = jnp.where(sorted_valid, sorted_tab, -1)[:, :kc]
-    count = jnp.sum(valid, axis=1)
+    n = g.num_padded_nodes
+    rank_slot = jnp.cumsum(member_slot, axis=1) - 1      # (N, K)
+    rank_e = gtools.table_lookup(rank_slot, g.dst, g.slot_in)
+    member_e = gtools.table_lookup(member_slot, g.dst, g.slot_in)
+    ok = member_e & (rank_e >= 0) & (rank_e < kc)
+    rows = jnp.where(ok, g.dst, n)
+    cols = jnp.where(ok, rank_e, 0)
+    edge_ids = jnp.arange(g.num_padded_edges, dtype=jnp.int32)
+    compact = jnp.full((n, kc), -1, jnp.int32).at[rows, cols].max(
+        jnp.where(ok, edge_ids, -1), mode="drop")
+    count = jnp.sum(member_slot, axis=1)
     return compact, count
 
 

@@ -169,18 +169,11 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
         vms_t = jnp.where(endcap_t, vms_t * jnp.abs(dr_t) / jnp.abs(dz_t), vms_t)
         slot_ms = jnp.where(proc_slot, vms_t, 0.0)
         cum = jnp.cumsum(slot_ms, axis=1)          # inclusive
-        # two-index lookup via width-8 rows: the K-wide row gather
-        # materializes an (E, K) intermediate (~88 MB at full event) and a
-        # flat width-2 gather tile-amplifies over N*K rows — the width-8
-        # regrouping measured fastest (4.9 vs 5.9 vs 8.3 ms, see
-        # tools/profile_extrap_parts.py history)
-        k_tab = otab.shape[1]
-        idx = g.src * k_tab + g.slot_out
-        if k_tab % 8 == 0:
-            cum_e = jnp.take_along_axis(
-                cum.reshape(-1, 8)[idx // 8], (idx % 8)[:, None], 1)[:, 0]
-        else:
-            cum_e = gtools.gather1d(cum.reshape(-1), idx)
+        # two-index lookup as row gather + one-hot multiply-reduce: XLA
+        # fuses the select into the gather consumer, so the (E, K)
+        # intermediate never materializes (0.9 ms vs 4.9 ms for the old
+        # width-8 regroup + take_along — tools/profile_lookup_forms.py)
+        cum_e = gtools.table_lookup(cum, g.src, g.slot_out)
         total_ms = cum[:, -1]
         new_merged_cov = g.merged_cov.at[:, 1, 1].add(
             jnp.where(g.has_merged, total_ms, 0.0))

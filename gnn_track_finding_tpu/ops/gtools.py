@@ -1,11 +1,16 @@
 """Gather utilities for TPU-friendly lowering.
 
-Measured on v5e: gathers of 1-element rows lower to a pathological path
-(hundreds of ms for ~300k lookups) while rows of width >= 2 run at memory
-speed (~1.7 ms).  `gather1d` therefore packs a 1-D operand into width-2
-rows before gathering; `table_lookup` implements two-index lookups as a
-row gather + take_along_axis (the direct x[idx, slot] form lowers ~3x
-slower).
+Measured on v5e (330k lookups, tools/profile_lookup_forms.py):
+
+  * gathers of 1-element rows lower to a pathological path (hundreds of
+    ms) while rows of width >= 2 run at memory speed — `gather1d` packs a
+    1-D operand into width-2 rows before gathering;
+  * for two-index lookups table[row, col], a row gather followed by a
+    ONE-HOT multiply-reduce over the minor axis runs at 0.9 ms for ANY
+    table width 2..64 — vs 5.5 ms for take_along_axis and 2.6-3.7 ms for
+    the direct x[row, col] form (both lower to per-element minor-axis
+    gathers).  XLA fuses the one-hot select into the row-gather consumer,
+    so the (len(row), W) intermediate never materializes.
 """
 
 from __future__ import annotations
@@ -19,6 +24,16 @@ def gather1d(x: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.stack([x, x], axis=-1)[idx, 0]
 
 
+def onehot_select(rows: jax.Array, col: jax.Array) -> jax.Array:
+    """rows[..., col] per row via one-hot multiply-reduce (no minor-axis
+    dynamic gather).  rows: (..., W); col: (...) int."""
+    w = rows.shape[-1]
+    oh = col[..., None] == jnp.arange(w, dtype=col.dtype)
+    if rows.dtype == jnp.bool_:
+        return jnp.any(rows & oh, axis=-1)
+    return jnp.sum(jnp.where(oh, rows, 0), axis=-1)
+
+
 def table_lookup(table: jax.Array, row: jax.Array, col: jax.Array) -> jax.Array:
-    """table[row, col] via row gather + take_along_axis."""
-    return jnp.take_along_axis(table[row], col[..., None], axis=-1)[..., 0]
+    """table[row, col] via row gather + one-hot multiply-reduce."""
+    return onehot_select(table[row], col)

@@ -190,11 +190,14 @@ def prior_reweight(g: GraphState, cfg: PipelineConfig,
     denom = collect.allsum(jax.ops.segment_sum(wl, g.dst, n), axis_name)
 
     # --- ONE packed node-table row gather for everything per-edge ---
+    # per-edge selects ride one-hot multiply-reduce / where-selects: a
+    # dynamic take_along_axis on the minor axis lowers to per-element
+    # gathers (measured 11 ms vs 1.5 ms for the whole block —
+    # tools/profile_lookup_forms.py)
     table = jnp.concatenate([count_nl, denom[:, None], node_x[:, None],
                              counts2], axis=1)                 # (N, L+4)
     pe = table[g.dst]                                          # (E, L+4)
-    count_e = jnp.take_along_axis(pe[:, :n_l],
-                                  g.e_src_layer[:, None], 1)[:, 0]
+    count_e = gtools.onehot_select(pe[:, :n_l], g.e_src_layer)
     denom_e = pe[:, n_l]
     node_x_e = pe[:, n_l + 1]
 
@@ -202,10 +205,9 @@ def prior_reweight(g: GraphState, cfg: PipelineConfig,
     new_prior = jnp.where(member, prior, g.upd_prior)
 
     left = xs < node_x_e
-    side = jnp.where(left, 0, 1)
     norms = jnp.where(
         member,
-        jnp.take_along_axis(pe[:, n_l + 2:n_l + 4], side[:, None], 1)[:, 0],
+        jnp.where(left, pe[:, n_l + 2], pe[:, n_l + 3]),
         1.0)
     norms = jnp.maximum(norms, 1.0)
 
