@@ -44,3 +44,20 @@ def test_stats_harness_small():
     assert (res["pvals_xy"] >= CFG.track_acceptance_pval - 1e-12).all()
     u = stats_harness.uniformity_check(res["pvals_xy"])
     assert "pvalue" in u
+
+
+def test_reweight_threshold_sweep():
+    """The tune_reweight_threshold study (run_tune_reweight_threshold.sh:
+    6-18): kept fractions are monotone non-increasing in the threshold,
+    threshold 0 keeps everything, and true edges survive at a higher rate
+    than false ones at the reference's operating point 0.1."""
+    res = stats_harness.reweight_threshold_sweep(num_runs=4, seed=2,
+                                                 cfg=CFG, num_tracks=10)
+    assert res["weight"].size > 0
+    assert set(np.unique(res["truth"])) <= {0, 1}
+    sk, bk, th = res["signal_kept"], res["background_kept"], res["thresholds"]
+    assert np.all(np.diff(sk) <= 1e-12) and np.all(np.diff(bk) <= 1e-12)
+    assert sk[0] == 1.0
+    i10 = int(np.argmin(np.abs(th - 0.1)))
+    if (res["truth"] == 0).any():
+        assert sk[i10] >= bk[i10]
