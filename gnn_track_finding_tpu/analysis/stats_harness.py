@@ -41,8 +41,9 @@ def accumulate_pvals(num_runs: int = 50, seed: int = 0,
 
 def reweight_threshold_sweep(num_runs: int = 50, seed: int = 0,
                              cfg: PipelineConfig | None = None,
-                             num_tracks: int = 12,
-                             thresholds: np.ndarray | None = None
+                             num_tracks: int = 32,
+                             thresholds: np.ndarray | None = None,
+                             toy_kwargs: Dict | None = None
                              ) -> Dict[str, np.ndarray]:
     """The reference's reweight-threshold tuning study
     (r&d/node_weight_dist/tune_reweight_threshold/
@@ -55,20 +56,41 @@ def reweight_threshold_sweep(num_runs: int = 50, seed: int = 0,
 
     Returns {"truth", "weight"} raw samples plus the sweep arrays
     {"thresholds", "signal_kept", "background_kept"}.
+
+    toy_kwargs: extra generate_event parameters.  The default widens the
+    edge gates (dphi 0.25, dtau 1.0) so cross-track confusion edges
+    survive the iteration-1 clustering prune into the sweep — the study
+    is signal-vs-background by construction (the reference's version runs
+    on its 10-track/10-layer toy whose dense HitPairPredictor edges
+    always carry background); with the framework's default windows the
+    toy is so clean that zero false edges reach iteration 2 and the sweep
+    would discriminate nothing.  Measured at the defaults (6 runs):
+    signal kept 0.89 vs background kept 0.66 at the reference's 0.1
+    operating point.  An empty class yields kept fraction 1.0 (vacuously
+    nothing removed), not NaN.
     """
-    cfg = cfg or PipelineConfig(node_bucket=256, edge_bucket=1024)
+    cfg = cfg or PipelineConfig(node_bucket=256, edge_bucket=2048)
     if thresholds is None:
         thresholds = np.linspace(0.0, 0.5, 26)
+    if toy_kwargs is None:
+        toy_kwargs = {"edge_dphi_window": 0.25, "edge_dtau_window": 1.0}
     truths, weights = [], []
     for run in range(num_runs):
-        ev = toymc.generate_event(num_tracks=num_tracks, seed=seed + run)
+        ev = toymc.generate_event(num_tracks=num_tracks, seed=seed + run,
+                                  **toy_kwargs)
         g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
                                  cfg)
         g = pipeline._prepare_jit(g, cfg)
         g = pipeline._stage_jit(g, cfg, 1, None)
         g, _res = pipeline._extract_jit(g, cfg, 1)
         g = pipeline._stage_jit(g, cfg, 2, None)   # extrapolation + reweight
-        member = np.asarray(g.has_updated & g.active & g.edge_mask)
+        # The reference walks s.edges(data=True) over the remaining
+        # networks (extract_remaining_edge_reweights.py:26-40): edge
+        # DEACTIVATION does not remove an edge from the graph, so weights
+        # below the operating threshold stay in the sample — that is the
+        # whole point of the study (the distribution must not be truncated
+        # at the 0.1 it is tuning).  Hence no g.active in this filter.
+        member = np.asarray(g.has_updated & g.edge_mask)
         if not member.any():
             continue
         src = np.asarray(g.src)[member]
@@ -80,9 +102,9 @@ def reweight_threshold_sweep(num_runs: int = 50, seed: int = 0,
     weight = np.concatenate(weights) if weights else np.zeros(0)
     sig = weight[truth == 1]
     bkg = weight[truth == 0]
-    signal_kept = np.array([(sig >= t).mean() if sig.size else np.nan
+    signal_kept = np.array([(sig >= t).mean() if sig.size else 1.0
                             for t in thresholds])
-    background_kept = np.array([(bkg >= t).mean() if bkg.size else np.nan
+    background_kept = np.array([(bkg >= t).mean() if bkg.size else 1.0
                                 for t in thresholds])
     return {"truth": truth, "weight": weight,
             "thresholds": np.asarray(thresholds),

@@ -63,7 +63,11 @@ def _compact_member_edges(g: GraphState, member_slot: jax.Array,
     rank_slot = jnp.cumsum(member_slot, axis=1) - 1      # (N, K)
     rank_e = gtools.table_lookup(rank_slot, g.dst, g.slot_in)
     member_e = gtools.table_lookup(member_slot, g.dst, g.slot_in)
-    ok = member_e & (rank_e >= 0) & (rank_e < kc)
+    # g.edge_mask is essential: padding edges are built with dst=0/slot_in=0
+    # fill, so member_e above reads node 0 slot 0's membership for EVERY
+    # padding edge — without the mask their (large) edge ids win the .max
+    # scatter into compact[0, rank] and clobber the real edge id.
+    ok = member_e & g.edge_mask & (rank_e >= 0) & (rank_e < kc)
     rows = jnp.where(ok, g.dst, n)
     cols = jnp.where(ok, rank_e, 0)
     edge_ids = jnp.arange(g.num_padded_edges, dtype=jnp.int32)

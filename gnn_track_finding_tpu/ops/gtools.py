@@ -26,7 +26,12 @@ def gather1d(x: jax.Array, idx: jax.Array) -> jax.Array:
 
 def onehot_select(rows: jax.Array, col: jax.Array) -> jax.Array:
     """rows[..., col] per row via one-hot multiply-reduce (no minor-axis
-    dynamic gather).  rows: (..., W); col: (...) int."""
+    dynamic gather).  rows: (..., W); col: (...) int.
+
+    Out-of-range contract: any col outside [0, W) — including negative
+    values — yields 0 (False for bool rows), NOT a clamped element like
+    take_along_axis would return.  Callers passing padded index arrays
+    (slot fills of 0/-1) rely on this zero-fill semantics."""
     w = rows.shape[-1]
     oh = col[..., None] == jnp.arange(w, dtype=col.dtype)
     if rows.dtype == jnp.bool_:
@@ -35,5 +40,9 @@ def onehot_select(rows: jax.Array, col: jax.Array) -> jax.Array:
 
 
 def table_lookup(table: jax.Array, row: jax.Array, col: jax.Array) -> jax.Array:
-    """table[row, col] via row gather + one-hot multiply-reduce."""
+    """table[row, col] via row gather + one-hot multiply-reduce.
+
+    Inherits onehot_select's contract: col outside [0, W) yields 0/False,
+    not a clamped element.  row is NOT range-checked (it indexes a real
+    gather) — callers must clamp/fill row themselves."""
     return onehot_select(table[row], col)

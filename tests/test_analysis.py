@@ -66,3 +66,63 @@ def test_distribution_artifacts(tmp_path):
     distributions.plot_candidates_xy_zr(g, out.candidates, str(tmp_path))
     assert (tmp_path / "subgraphs_xy.png").exists()
     assert (tmp_path / "subgraphs_zr.png").exists()
+
+
+def test_average_linkage_matches_scipy():
+    """Pin the self-contained average-linkage maximum against
+    scipy.cluster.hierarchy.linkage (the reference study's sch.linkage,
+    weight_v_angle_dist_stats.py:124-126)."""
+    import scipy.cluster.hierarchy as sch
+    from gnn_track_finding_tpu.analysis import shared_hits
+    rng = np.random.default_rng(0)
+    for m in (2, 3, 5, 9, 16):
+        feats = rng.normal(size=(m, 2))
+        z = sch.linkage(feats, method="average")
+        np.testing.assert_allclose(
+            shared_hits.average_linkage_max_distance(feats),
+            float(np.amax(z[:, 2])), rtol=1e-10)
+
+
+def test_dendrogram_statistics():
+    """The shared-hit dendrogram repetition study
+    (run_dendograms_statistics.sh:4-12) produces finite maxima for both
+    iterations."""
+    from gnn_track_finding_tpu.analysis import shared_hits
+    res = shared_hits.dendrogram_statistics(
+        num_runs=2, seed=11, cfg=CFG, num_tracks=16,
+        toy_kwargs={"edge_dphi_window": 0.12})
+    assert res["iteration1"].size > 0
+    assert np.isfinite(res["iteration1"]).all()
+    assert (res["iteration1"] >= 0).all()
+    # iteration-2 sample exists when updated states survive
+    assert np.isfinite(res["iteration2"]).all()
+
+
+def test_quality_check_extracted_candidates():
+    """The candidate audit (quality_check_extracted_candidates.py:47-129):
+    every accepted candidate passes all four structural invariants on the
+    toy workload, and a planted fragment fails test 1."""
+    from gnn_track_finding_tpu.analysis import quality_check
+    ev = toymc.generate_event(seed=11, num_tracks=16, edge_dphi_window=0.12)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    out = pipeline.run_pipeline(g, CFG)
+    assert out.candidates, "no candidates — audit is vacuous"
+    audits = quality_check.quality_check_candidates(
+        [c.nodes for c in out.candidates], ev.xyzr, ev.vivl,
+        np.asarray(g.src), np.asarray(g.dst), np.asarray(g.edge_mask),
+        min_track_hits=CFG.min_track_hits)
+    summary = quality_check.summarize(audits)
+    assert summary["n_candidates"] == len(out.candidates)
+    assert summary["fragments"] == 0
+    assert summary["layer_holes"] == 0
+    # accepted candidates are r-ordered connected chains by construction
+    assert summary["r_order_breaks"] == 0
+
+    # planted defect: a 2-hit fragment of disconnected nodes fails
+    iso = np.array([0, int(np.asarray(g.n_nodes)) - 1])
+    bad = quality_check.quality_check_candidates(
+        [iso], ev.xyzr, ev.vivl, np.asarray(g.src), np.asarray(g.dst),
+        np.zeros_like(np.asarray(g.edge_mask)),
+        min_track_hits=CFG.min_track_hits)
+    assert not bad[0].min_hits_ok
+    assert not bad[0].r_order_connected

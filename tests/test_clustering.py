@@ -3,11 +3,44 @@ import numpy as np
 from gnn_track_finding_tpu.config import PipelineConfig
 from gnn_track_finding_tpu.graph.build import build_graph_state
 from gnn_track_finding_tpu.models import toymc
+from gnn_track_finding_tpu.ops import clustering
 
 from tests import helpers
 from tests.oracle import ref_impl
 
 CFG = PipelineConfig(node_bucket=64, edge_bucket=256)
+
+
+def test_compact_member_edges_ignores_padding():
+    """Regression (advisor r2): padding edges carry dst=0/slot_in=0 fill,
+    so they read node 0 slot 0's membership through the table; without the
+    edge_mask guard in _compact_member_edges their (large) edge ids win
+    the .max scatter and clobber compact[0, :] — silently corrupting node
+    0's clustering whenever its degree passes the 3..15 gate.
+
+    Seed 7 is chosen so node 0 has a member in-edge at slot 0, degree in
+    the gate, and padding edges exist — the exact trigger."""
+    ev = toymc.generate_event(seed=7, num_tracks=16, edge_dphi_window=0.12)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    in0 = np.asarray(g.in_edges)[0]
+    npad = int((~np.asarray(g.edge_mask)).sum())
+    deg0 = int((in0 >= 0).sum())
+    assert in0[0] >= 0 and npad > 0 and 3 <= deg0 <= 15, \
+        "fixture no longer triggers the bug conditions"
+
+    member_slot = clustering._member_slots(g, g.edge_mask)
+    comp, count = clustering._compact_member_edges(g, member_slot)
+    comp = np.asarray(comp)
+    em = np.asarray(g.edge_mask)
+    dst = np.asarray(g.dst)
+    rows, cols = np.nonzero(comp >= 0)
+    eids = comp[rows, cols]
+    # every compacted entry is a REAL edge whose head is the table row
+    assert em[eids].all(), "padding edge id leaked into the compact table"
+    assert (dst[eids] == rows).all()
+    # node 0's row holds exactly its real member in-edges
+    assert int(np.asarray(count)[0]) == deg0
+    assert sorted(comp[0][comp[0] >= 0]) == sorted(in0[in0 >= 0])
 
 
 def insertion_order(G, node):

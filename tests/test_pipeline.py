@@ -92,3 +92,43 @@ def test_reconstruction_efficiency_parity_nonzero():
     assert dev_rep.num_reconstructed > 0
     assert dev_rep.efficiency_pct >= 0.95 * ref_rep.efficiency_pct, (
         dev_rep, ref_rep)
+
+
+def test_reset_reactivate():
+    """The reference's '-r' full-reset path (clustering.py:126-146): drop
+    every merged and updated state, reactivate every surviving edge,
+    re-seed track states and recompute priors/weights — the result must
+    equal a fresh `prepare` of the same (shrunken) graph."""
+    ev = toymc.generate_event(seed=11, num_tracks=16, edge_dphi_window=0.12)
+    g0, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    g = pipeline._prepare_jit(g0, CFG)
+    for i in (1, 2):
+        g = pipeline._stage_jit(g, CFG, i, None)
+        g, _res = pipeline._extract_jit(g, CFG, i)
+
+    # the run must have actually produced state to reset
+    assert bool(np.asarray(g.has_merged).any())
+    assert bool(np.asarray(g.has_updated).any())
+    assert bool((np.asarray(g.edge_mask) & ~np.asarray(g.active)).any())
+
+    r = pipeline.reset_reactivate(g, CFG)
+    assert not np.asarray(r.has_merged).any()
+    assert not np.asarray(r.has_updated).any()
+    # every surviving edge reactivated (helper.initialize_edge_activation)
+    np.testing.assert_array_equal(np.asarray(r.active),
+                                  np.asarray(r.edge_mask))
+
+    # equal to prepare() on the same shrunken graph: seed states, priors,
+    # weights, degrees all recomputed from scratch
+    fresh = pipeline._prepare_jit(g.replace(
+        has_merged=g.has_merged & False, has_updated=g.has_updated & False,
+        active=g.edge_mask), CFG)
+    em = np.asarray(r.edge_mask)
+    np.testing.assert_allclose(np.asarray(r.seed_sv)[em],
+                               np.asarray(fresh.seed_sv)[em])
+    np.testing.assert_allclose(np.asarray(r.seed_prior)[em],
+                               np.asarray(fresh.seed_prior)[em])
+    np.testing.assert_allclose(np.asarray(r.seed_weight)[em],
+                               np.asarray(fresh.seed_weight)[em])
+    np.testing.assert_array_equal(np.asarray(r.degree),
+                                  np.asarray(fresh.degree))

@@ -50,14 +50,23 @@ def test_reweight_threshold_sweep():
     """The tune_reweight_threshold study (run_tune_reweight_threshold.sh:
     6-18): kept fractions are monotone non-increasing in the threshold,
     threshold 0 keeps everything, and true edges survive at a higher rate
-    than false ones at the reference's operating point 0.1."""
-    res = stats_harness.reweight_threshold_sweep(num_runs=4, seed=2,
-                                                 cfg=CFG, num_tracks=10)
+    than false ones at the reference's operating point 0.1.
+
+    The workload (32 tracks, widened dphi/dtau edge gates — the harness
+    defaults) is chosen so false edges actually survive into iteration 2:
+    the study must carry real background or the sweep discriminates
+    nothing."""
+    cfg = PipelineConfig(node_bucket=256, edge_bucket=2048)
+    res = stats_harness.reweight_threshold_sweep(num_runs=3, seed=2,
+                                                 cfg=cfg)
     assert res["weight"].size > 0
-    assert set(np.unique(res["truth"])) <= {0, 1}
+    assert (res["truth"] == 0).any(), "degenerate study: no background"
+    assert (res["truth"] == 1).any()
     sk, bk, th = res["signal_kept"], res["background_kept"], res["thresholds"]
+    assert np.all(np.isfinite(sk)) and np.all(np.isfinite(bk))
     assert np.all(np.diff(sk) <= 1e-12) and np.all(np.diff(bk) <= 1e-12)
-    assert sk[0] == 1.0
+    assert sk[0] == 1.0 and bk[0] == 1.0
     i10 = int(np.argmin(np.abs(th - 0.1)))
-    if (res["truth"] == 0).any():
-        assert sk[i10] >= bk[i10]
+    assert sk[i10] > bk[i10], (
+        "signal must survive the 0.1 operating point at a higher rate "
+        f"(signal {sk[i10]:.3f} vs background {bk[i10]:.3f})")
