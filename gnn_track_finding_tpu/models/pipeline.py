@@ -55,16 +55,18 @@ def cluster_stage(g: GraphState, cfg: PipelineConfig,
 
 
 def extrapolation_stage(g: GraphState, cfg: PipelineConfig,
-                        axis_name=None) -> GraphState:
+                        axis_name=None, routing=None) -> GraphState:
     """Extrapolation iteration incl. double prior/reweight + degrees
     (extrapolate_merged_states.py:554-566).
 
     axis_name: mesh axis of a shard_map edge partition
     (parallel/edge_shard.py); per-node aggregates then combine across
-    edge shards with explicit psums."""
+    edge shards with explicit collectives.  routing: optional
+    edge_shard.OwnerRouting enabling the node-owner all_to_all exchange
+    in the prior/reweight passes."""
     g = extrapolate.message_passing(g, cfg, axis_name=axis_name)
-    g = priors.prior_reweight(g, cfg, axis_name=axis_name)
-    g = priors.prior_reweight(g, cfg, axis_name=axis_name)
+    g = priors.prior_reweight(g, cfg, axis_name=axis_name, routing=routing)
+    g = priors.prior_reweight(g, cfg, axis_name=axis_name, routing=routing)
     g = priors.update_degrees(g, axis_name=axis_name)
     return g
 

@@ -141,33 +141,46 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
 
     # --- cumulative in-place merged_cov mutation (ref :127-128) ---
     if cfg.bug_compat:
-        # var_ms recomputed in OUT-TABLE layout from the static head-coord
-        # cache + node-local merged state: zero dynamic gathers (gathering
-        # the (E,) var_ms through the table costs a 4KB tile per lookup =
-        # ~32 GB of traffic; see docs/DESIGN.md).  The active flags arrive
-        # by scatter, which IS tile-efficient on TPU.
+        # var_ms VALUES scatter from edge space into the out-table (one
+        # writer per (node, slot); scatters are tile-efficient on TPU,
+        # and padding edges route out of bounds so their zeros never race
+        # a real slot).  This replaces the round-2 design that recomputed
+        # the whole (N, K, 4) table's MS math to avoid a gather — the
+        # value scatter costs the same as the flag scatter it already
+        # paid, and the table math (measured 8.6 ms of the stage's 28 ms
+        # at full event, tools/profile_extrap_parts.py) disappears.
         otab = g.out_edges
-        proc_slot = collect.allor(
-            jnp.zeros(otab.shape, bool).at[g.src, g.slot_out].max(
-                g.edge_mask & g.active),
-            axis_name)
-        proc_slot = proc_slot & g.has_merged[:, None] & (otab >= 0)
-        head = g.out_head_xyzr                      # (N, K, 4) — refreshed
-        # by the driver when extraction merges mutate GNN coordinates
-        node_xyzr = g.gnn_xyzr
-        a_n = g.merged_state[:, 0:1]
-        b_n = g.merged_state[:, 1:2]
-        dr_t = head[..., 3] - node_xyzr[:, 3:4]
-        dz_t = head[..., 2] - node_xyzr[:, 2:3]
-        hyp_t = jnp.sqrt(dr_t * dr_t + dz_t * dz_t)
-        sin_t_t = jnp.abs(dr_t) / jnp.maximum(hyp_t, linalg.tiny(dtype))
-        u_t = 2.0 * a_n * head[..., 0] + b_n
-        rs_t = jax.lax.rsqrt(1.0 + u_t * u_t)
-        kappa_t = (2.0 * a_n) * (rs_t * rs_t * rs_t)
-        vms_t = sin_t_t * cfg.ms_coefficient() * kappa_t * kappa_t
-        endcap_t = jnp.abs(node_xyzr[:, 2:3]) >= cfg.endcap_boundary
-        vms_t = jnp.where(endcap_t, vms_t * jnp.abs(dr_t) / jnp.abs(dz_t), vms_t)
-        slot_ms = jnp.where(proc_slot, vms_t, 0.0)
+        if axis_name is None:
+            row = jnp.where(proc, g.src, otab.shape[0])
+            slot_ms = jnp.zeros(otab.shape, dtype).at[row, g.slot_out].set(
+                var_ms, mode="drop")
+        else:
+            # sharded: exchange only the u8 activity flags and recompute
+            # the MS table from replicated node data + the static head
+            # cache — an f32 value-table psum would put the (N, K) table
+            # back on the wire that the owner routing just removed
+            proc_slot = collect.allor(
+                jnp.zeros(otab.shape, bool).at[g.src, g.slot_out].max(
+                    g.edge_mask & g.active),
+                axis_name)
+            proc_slot = proc_slot & g.has_merged[:, None] & (otab >= 0)
+            head = g.out_head_xyzr                  # (N, K, 4) — refreshed
+            # by the driver when extraction merges mutate GNN coordinates
+            node_xyzr = g.gnn_xyzr
+            a_n = g.merged_state[:, 0:1]
+            b_n = g.merged_state[:, 1:2]
+            dr_t = head[..., 3] - node_xyzr[:, 3:4]
+            dz_t = head[..., 2] - node_xyzr[:, 2:3]
+            hyp_t = jnp.sqrt(dr_t * dr_t + dz_t * dz_t)
+            sin_t_t = jnp.abs(dr_t) / jnp.maximum(hyp_t, linalg.tiny(dtype))
+            u_t = 2.0 * a_n * head[..., 0] + b_n
+            rs_t = jax.lax.rsqrt(1.0 + u_t * u_t)
+            kappa_t = (2.0 * a_n) * (rs_t * rs_t * rs_t)
+            vms_t = sin_t_t * cfg.ms_coefficient() * kappa_t * kappa_t
+            endcap_t = jnp.abs(node_xyzr[:, 2:3]) >= cfg.endcap_boundary
+            vms_t = jnp.where(endcap_t,
+                              vms_t * jnp.abs(dr_t) / jnp.abs(dz_t), vms_t)
+            slot_ms = jnp.where(proc_slot, vms_t, 0.0)
         cum = jnp.cumsum(slot_ms, axis=1)          # inclusive
         # two-index lookup as row gather + one-hot multiply-reduce: XLA
         # fuses the select into the gather consumer, so the (E, K)

@@ -138,8 +138,18 @@ def _distinct_counts(ok_slot: jax.Array, x_slot: jax.Array,
         jnp.sum(first & ~left_slot, axis=1)], axis=1).astype(dtype)
 
 
+def _use_pallas_distinct(g: GraphState, tile: int = 512) -> bool:
+    """Pallas distinct-count kernel applies on TPU f32 single-device runs
+    with a tileable node axis (same gate as the clustering kernel)."""
+    return (jax.default_backend() in ("tpu", "axon")
+            and g.dtype != jnp.float64
+            and g.num_padded_nodes % tile == 0)
+
+
 def prior_reweight(g: GraphState, cfg: PipelineConfig,
-                   axis_name=None) -> GraphState:
+                   axis_name=None, routing=None,
+                   edge_distinct: bool | None = None,
+                   distinct_backend: str | None = None) -> GraphState:
     """Fused prior recompute + Gaussian-mixture reweight — one pass of the
     reference's back-to-back calls (extrapolate_merged_states.py:554-559).
 
@@ -158,45 +168,155 @@ def prior_reweight(g: GraphState, cfg: PipelineConfig,
     Numerics are identical to compute_prior_probabilities -> reweight
     (integer counts; same denom segment_sum; same distinct-count block) —
     asserted in tests/test_extrapolate.py.
+
+    Under an edge partition (axis_name set) the combine uses the
+    NODE-OWNER exchange: the (N, K) scatter partials reduce_scatter to
+    contiguous node-row owners, the per-node reductions run on the owner
+    (so the (N, K, K) distinct-count block parallelises too), and only
+    the (N, L+4) packed result is all_gathered — replacing the two full
+    (N, K) f32 table all-reduces of the naive pattern
+    (docs/DESIGN.md 'Multi-chip model').
     """
     member = g.has_updated & g.active & g.edge_mask
     n = g.num_padded_nodes
     n_l = g.n_layers
+    k_tab = g.in_edges.shape[1]
     dtype = g.dtype
 
-    # --- one shared scatter pass into the in-edge table ---
-    ok_slot = collect.allor(
-        jnp.zeros(g.in_edges.shape, bool).at[g.dst, g.slot_in].max(member),
-        axis_name)
     xs = g.upd_xyzr[:, 0]
-    row = jnp.where(member, g.dst, g.in_edges.shape[0])
-    x_slot = collect.allsum(
-        jnp.zeros(g.in_edges.shape, g.dtype).at[row, g.slot_in].set(
-            xs, mode="drop"),
-        axis_name)
-
-    # --- per-(node, layer) eligible counts from the static layer cache ---
-    count_nl = jnp.stack(
-        [jnp.sum(ok_slot & (g.in_src_layer == l), axis=1)
-         for l in range(n_l)], axis=1).astype(dtype)           # (N, L)
-
-    # --- side-norm distinct counts ---
-    node_x = g.gnn_xyzr[:, 0]
-    left_slot = x_slot < node_x[:, None]
-    counts2 = _distinct_counts(ok_slot, x_slot, left_slot, dtype)
-
-    # --- mixture denominator (weight-dependent -> segment sum) ---
     wl = jnp.where(member, g.upd_weight * g.upd_likelihood, 0.0)
-    denom = collect.allsum(jax.ops.segment_sum(wl, g.dst, n), axis_name)
+    node_x = g.gnn_xyzr[:, 0]
+
+    if distinct_backend is None:
+        # measured on v5e full event (tools/profile_extrap_parts.py r3):
+        # the XLA cube and the Pallas kernel are within noise in the
+        # FUSED stage (26.2 vs 26.7 ms) — XLA already fuses the cube's
+        # intermediates here, unlike the clustering case.  Default to
+        # "xla"; the kernel stays selectable (and CI-covered) for
+        # workloads where the cube dominates.
+        distinct_backend = "xla"
+
+    def node_results(ok_slot, x_slot, denom, node_x_r, layer_tab,
+                     backend="xla"):
+        """Per-node outputs from the combined tables: (rows, L+4) packed
+        [prior counts per layer | mixture denom | node x | side-norm
+        distinct counts]."""
+        count_nl = jnp.stack(
+            [jnp.sum(ok_slot & (layer_tab == l), axis=1)
+             for l in range(n_l)], axis=1).astype(dtype)       # (rows, L)
+        if backend in ("pallas", "pallas_interpret"):
+            from gnn_track_finding_tpu.ops import pallas_distinct
+            counts2 = pallas_distinct.distinct_counts_tile(
+                ok_slot, x_slot, node_x_r,
+                interpret=(backend == "pallas_interpret"))
+        else:
+            left_slot = x_slot < node_x_r[:, None]
+            counts2 = _distinct_counts(ok_slot, x_slot, left_slot, dtype)
+        return jnp.concatenate([count_nl, denom[:, None],
+                                node_x_r[:, None], counts2], axis=1)
+
+    row_idx = g.dst   # row of the packed result table per edge
+    if routing is not None and collect.owner_shards(n, axis_name):
+        # Node-owner all_to_all exchange (parallel/edge_shard.OwnerRouting):
+        # each edge SENDS its scatter payload (x snapshot, w*L term, member
+        # flag) straight to its head's owner shard; the owner rebuilds its
+        # block of the tables, computes the per-node results there (the
+        # (rows, K, K) distinct-count block parallelises too), and only
+        # the (N, L+4) result is all_gathered.  The wire carries E*3 f32
+        # payloads + the narrow result — not the two (N, K) f32 table
+        # all-reduces of the naive combine.
+        d = routing.n_shards
+        rows = n // d
+        vals = jnp.stack([jnp.where(member, xs, 0.0), wl,
+                          member.astype(dtype)], axis=1)       # (E_loc, 3)
+        recv = collect.route_to_owners(vals, routing.owner, routing.pos,
+                                       routing.bucket, axis_name)
+        my = jax.lax.axis_index(axis_name)
+        rr = jax.lax.dynamic_index_in_dim(routing.recv_row, my, 0,
+                                          keepdims=False)      # (D, B)
+        ss = jax.lax.dynamic_index_in_dim(routing.recv_slot, my, 0,
+                                          keepdims=False)
+        valid = rr >= 0
+        ok_recv = valid & (recv[..., 2] > 0.5)
+        row_ok = jnp.where(ok_recv, rr, rows)
+        ok_own = jnp.zeros((rows, k_tab), bool).at[row_ok, ss].max(
+            ok_recv, mode="drop")
+        x_own = jnp.zeros((rows, k_tab), dtype).at[row_ok, ss].set(
+            jnp.where(ok_recv, recv[..., 0], 0.0), mode="drop")
+        denom_own = jnp.zeros((rows,), dtype).at[
+            jnp.where(valid, rr, rows)].add(
+            jnp.where(valid, recv[..., 1], 0.0), mode="drop")
+        table = collect.gather_rows(
+            node_results(ok_own, x_own, denom_own,
+                         collect.owner_block_interleaved(node_x, axis_name),
+                         collect.owner_block_interleaved(g.in_src_layer,
+                                                         axis_name)),
+            axis_name)                                         # (N, L+4)
+        row_idx = routing.own_idx     # owner-major row of dst, static
+    else:
+        # local scatter partials + dense combine (reduce_scatter to
+        # contiguous owners when the tiling divides, else plain psum)
+        ok_part = jnp.zeros(g.in_edges.shape, bool).at[
+            g.dst, g.slot_in].max(member)
+        row = jnp.where(member, g.dst, g.in_edges.shape[0])
+        x_part = jnp.zeros(g.in_edges.shape, g.dtype).at[row, g.slot_in].set(
+            xs, mode="drop")
+        denom_part = jax.ops.segment_sum(wl, g.dst, n)
+        if collect.owner_shards(n, axis_name):
+            table = collect.gather_rows(
+                node_results(collect.ownor(ok_part, axis_name),
+                             collect.ownsum(x_part, axis_name),
+                             collect.ownsum(denom_part, axis_name),
+                             collect.owner_block(node_x, axis_name),
+                             collect.owner_block(g.in_src_layer, axis_name)),
+                axis_name)                                     # (N, L+4)
+        elif not edge_distinct:
+            table = node_results(collect.allor(ok_part, axis_name),
+                                 collect.allsum(x_part, axis_name),
+                                 collect.allsum(denom_part, axis_name),
+                                 node_x, g.in_src_layer,
+                                 backend=distinct_backend)
+        else:
+            # edge-space distinct counting (kept for A/B profiling,
+            # edge_distinct=True): a per-edge first-occurrence test over
+            # one packed (E, 2K) row gather instead of the (N, K, K)
+            # compare cube.  ISOLATED it measures faster (8.5 vs 9.4 ms)
+            # but the FUSED stage is 9 ms slower (34.9 vs 26.2 ms,
+            # tools/profile_extrap_parts.py r3) — the (E, 2K) gather
+            # breaks the stage's fusion — so the default is the table
+            # cube.  Same integers: edge e IS slot (dst, slot_in),
+            # "first" = no earlier ok slot with equal raw x on the same
+            # side (helper.py:127-134 len(set)).
+            count_nl = jnp.stack(
+                [jnp.sum(ok_part & (g.in_src_layer == l), axis=1)
+                 for l in range(n_l)], axis=1).astype(dtype)
+            packed_tab = jnp.concatenate(
+                [x_part, ok_part.astype(dtype)], axis=1)       # (N, 2K)
+            rowt = packed_tab[g.dst]                           # (E, 2K)
+            xrow = rowt[:, :k_tab]
+            okrow = rowt[:, k_tab:] > 0.5
+            node_x_e = gtools.gather1d(node_x, g.dst)
+            earlier = (jnp.arange(k_tab)[None, :]
+                       < g.slot_in[:, None])                   # (E, K)
+            left_e = xs < node_x_e
+            same_side = (xrow < node_x_e[:, None]) == left_e[:, None]
+            dup = jnp.any(okrow & (xrow == xs[:, None]) & same_side
+                          & earlier, axis=1)
+            first = member & ~dup
+            side = jnp.where(left_e, 0, 1)
+            counts2 = jax.ops.segment_sum(
+                first.astype(dtype), g.dst * 2 + side,
+                2 * n).reshape(n, 2)
+            table = jnp.concatenate(
+                [count_nl, denom_part[:, None], node_x[:, None], counts2],
+                axis=1)
 
     # --- ONE packed node-table row gather for everything per-edge ---
     # per-edge selects ride one-hot multiply-reduce / where-selects: a
     # dynamic take_along_axis on the minor axis lowers to per-element
     # gathers (measured 11 ms vs 1.5 ms for the whole block —
     # tools/profile_lookup_forms.py)
-    table = jnp.concatenate([count_nl, denom[:, None], node_x[:, None],
-                             counts2], axis=1)                 # (N, L+4)
-    pe = table[g.dst]                                          # (E, L+4)
+    pe = table[row_idx]                                        # (E, L+4)
     count_e = gtools.onehot_select(pe[:, :n_l], g.e_src_layer)
     denom_e = pe[:, n_l]
     node_x_e = pe[:, n_l + 1]

@@ -99,19 +99,119 @@ def shard_graph(g: GraphState, mesh: Mesh, axis: str = "edge") -> GraphState:
     return jax.tree.map(jax.device_put, g, graph_shardings(g, mesh, axis))
 
 
-def extrapolation_stage_sharded(cfg, mesh: Mesh, axis: str = "edge"):
+from flax import struct
+
+
+@struct.dataclass
+class OwnerRouting:
+    """Static routing of per-edge scatter VALUES to their head-node's
+    owner shard (the all_to_all refinement of the table exchange).
+
+    Node ownership is INTERLEAVED (owner(i) = i % D, owner-local row
+    i // D): edge files list edges in roughly node-id order, so a
+    contiguous edge block's heads cluster in id space — interleaving
+    keeps the (sender, owner) buckets balanced where contiguous
+    ownership would skew them onto one shard.
+
+    All arrays are layout-static (they depend only on dst/slot_in and D,
+    never on masks or weights), so they are built once per mesh on the
+    host.  owner/pos/own_idx shard with the edge axis; recv_row/recv_slot
+    replicate.
+    """
+    n_shards: int = struct.field(pytree_node=False)
+    bucket: int = struct.field(pytree_node=False)  # padded bucket capacity
+    owner: jax.Array         # (E,) int32 owner shard of dst, -1 padding
+    pos: jax.Array           # (E,) int32 position within the send bucket
+    own_idx: jax.Array       # (E,) int32 row of dst in the all_gathered
+    #                          owner-major result table: (dst%D)*rows + dst//D
+    recv_row: jax.Array      # (D, D, B) int32 owner-local node row, -1 pad
+    recv_slot: jax.Array     # (D, D, B) int32 slot_in of the edge
+
+
+def build_owner_routing(g: GraphState, n_shards: int) -> OwnerRouting:
+    """Host-side construction of the static value-routing tables."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    e_pad = g.num_padded_edges
+    n_pad = g.num_padded_nodes
+    assert e_pad % n_shards == 0 and n_pad % n_shards == 0, (e_pad, n_pad)
+    e_loc = e_pad // n_shards
+    rows = n_pad // n_shards
+
+    dst = np.asarray(g.dst).astype(np.int64)
+    slot = np.asarray(g.slot_in).astype(np.int64)
+    mask = np.asarray(g.edge_mask)
+
+    sender = np.arange(e_pad) // e_loc
+    owner = np.where(mask, dst % n_shards, -1)
+
+    # bucket positions: rank of each edge within its (sender, owner) pair
+    key = sender * n_shards + np.where(mask, owner, 0)
+    key = np.where(mask, key, np.int64(n_shards * n_shards))
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    start = np.zeros(e_pad, np.int64)
+    change = np.flatnonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))
+    start[change] = change
+    np.maximum.accumulate(start, out=start)
+    pos_sorted = np.arange(e_pad) - start
+    pos = np.empty(e_pad, np.int64)
+    pos[order] = pos_sorted
+    pos = np.where(mask, pos, -1)
+
+    counts = np.bincount(key[mask], minlength=n_shards * n_shards)
+    b = int(counts.max()) if counts.size else 1
+    b = max(128, -(-b // 128) * 128)      # lane-aligned capacity
+
+    recv_row = np.full((n_shards, n_shards, b), -1, np.int32)
+    recv_slot = np.zeros((n_shards, n_shards, b), np.int32)
+    m = mask & (pos < b)
+    recv_row[owner[m], sender[m], pos[m]] = (dst[m] // n_shards).astype(
+        np.int32)
+    recv_slot[owner[m], sender[m], pos[m]] = slot[m].astype(np.int32)
+
+    own_idx = ((dst % n_shards) * rows + dst // n_shards).astype(np.int32)
+    return OwnerRouting(
+        n_shards=n_shards, bucket=b,
+        owner=jnp.asarray(np.where(mask, owner, -1).astype(np.int32)),
+        pos=jnp.asarray(np.where(mask, pos, -1).astype(np.int32)),
+        own_idx=jnp.asarray(own_idx),
+        recv_row=jnp.asarray(recv_row), recv_slot=jnp.asarray(recv_slot))
+
+
+def routing_pspecs(r: OwnerRouting, axis: str = "edge") -> OwnerRouting:
+    return OwnerRouting(
+        n_shards=r.n_shards, bucket=r.bucket,
+        owner=P(axis), pos=P(axis), own_idx=P(axis),
+        recv_row=P(), recv_slot=P())
+
+
+def extrapolation_stage_sharded(cfg, mesh: Mesh, axis: str = "edge",
+                                routing: Optional[OwnerRouting] = None):
     """Jitted edge-partitioned extrapolation stage: shard_map over `axis`
-    with the explicit psum combines inside (ops threading axis_name)."""
+    with the explicit collectives inside (ops threading axis_name and the
+    owner routing)."""
     from gnn_track_finding_tpu.models import pipeline
 
-    def run(g: GraphState) -> GraphState:
+    def run(g: GraphState, r: Optional[OwnerRouting]) -> GraphState:
         specs = graph_pspecs(g, axis)
+        if r is None:
+            fn = _shard_map(
+                lambda gg: pipeline.extrapolation_stage(
+                    gg, cfg, axis_name=axis),
+                mesh, in_specs=(specs,), out_specs=specs)
+            return fn(g)
         fn = _shard_map(
-            partial(pipeline.extrapolation_stage, cfg=cfg, axis_name=axis),
-            mesh, in_specs=(specs,), out_specs=specs)
-        return fn(g)
+            lambda gg, rr: pipeline.extrapolation_stage(
+                gg, cfg, axis_name=axis, routing=rr),
+            mesh, in_specs=(specs, routing_pspecs(r, axis)),
+            out_specs=specs)
+        return fn(g, r)
 
-    return jax.jit(run)
+    if routing is None:
+        return jax.jit(lambda g: run(g, None))
+    return jax.jit(lambda g: run(g, routing))
 
 
 def edge_mesh(n: Optional[int] = None, devices=None) -> Mesh:

@@ -92,3 +92,57 @@ def test_edge_sharded_pair_swap_stays_local():
                      static_argnums=1)(g, CFG)
     np.testing.assert_allclose(np.asarray(out.upd_weight),
                                np.asarray(single.upd_weight), rtol=1e-12)
+
+
+@needs_mesh
+def test_owner_routing_stage_matches_single_device():
+    """The node-owner all_to_all exchange (edge_shard.OwnerRouting): edge
+    payloads route straight to their head's owner shard, per-node results
+    all_gather back — numerics must match the single-device stage like
+    the dense combine does."""
+    g = _staged_graph()
+    single = jax.jit(pipeline.extrapolation_stage,
+                     static_argnums=1)(g, CFG)
+
+    mesh = edge_shard.edge_mesh(8)
+    routing = edge_shard.build_owner_routing(g, 8)
+    # routing must cover every real edge exactly once
+    owner = np.asarray(routing.owner)
+    mask = np.asarray(g.edge_mask)
+    assert (owner[mask] >= 0).all() and (owner[~mask] == -1).all()
+    assert (np.asarray(routing.pos)[mask] < routing.bucket).all()
+
+    gs = edge_shard.shard_graph(g, mesh)
+    sharded = edge_shard.extrapolation_stage_sharded(
+        CFG, mesh, routing=routing)(gs)
+
+    for f in dataclasses.fields(type(g)):
+        if not f.metadata.get("pytree_node", True):
+            continue
+        a = np.asarray(getattr(single, f.name))
+        b = np.asarray(getattr(sharded, f.name))
+        if a.dtype == bool or np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b, err_msg=f.name)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-300,
+                                       err_msg=f.name)
+
+
+@needs_mesh
+def test_owner_routing_lowering_has_all_to_all():
+    """The designed exchange must actually lower to an all_to_all plus
+    narrow all_gathers — with NO (N, K) f32 table all-reduce left."""
+    g = _staged_graph()
+    mesh = edge_shard.edge_mesh(8)
+    routing = edge_shard.build_owner_routing(g, 8)
+    gs = edge_shard.shard_graph(g, mesh)
+    txt = (edge_shard.extrapolation_stage_sharded(CFG, mesh, routing=routing)
+           .lower(gs).compile().as_text())
+    assert "all-to-all" in txt, "owner routing must lower to all-to-all"
+    k = g.in_edges.shape[1]
+    n = g.num_padded_nodes
+    for line in txt.splitlines():
+        if "all-reduce" in line and f"[{n},{k}]" in line and (
+                "f64[" in line or "f32[" in line):
+            raise AssertionError(
+                f"(N, K) float table still rides all-reduce: {line.strip()}")

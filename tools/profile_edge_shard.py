@@ -112,6 +112,19 @@ def main() -> None:
         dt = timed(fn, gs, args.n)
         results[("shard_map", n_dev)] = (collective_stats(txt), dt)
 
+    # node-owner all_to_all routing (edge_shard.OwnerRouting)
+    for n_dev in (2, 4, 8):
+        mesh = edge_shard.edge_mesh(n_dev)
+        routing = edge_shard.build_owner_routing(g, n_dev)
+        print(f"[edge_shard] routing n_dev={n_dev}: bucket={routing.bucket} "
+              f"(ideal {g.n_edges // (n_dev * n_dev)})", file=_sys.stderr)
+        gs = edge_shard.shard_graph(g, mesh)
+        fn = edge_shard.extrapolation_stage_sharded(cfg, mesh,
+                                                    routing=routing)
+        txt = fn.lower(gs).compile().as_text()
+        dt = timed(fn, gs, args.n)
+        results[("owner_a2a", n_dev)] = (collective_stats(txt), dt)
+
     # auto-SPMD: every array axis sharded over the edge axis, XLA infers
     for n_dev in (8,):
         mesh = edge_shard.edge_mesh(n_dev)

@@ -174,6 +174,16 @@ def main() -> None:
         out = extrapolate.message_passing(s, cfg)
         return out.upd_sv.sum() + out.active.sum().astype(s.dtype)
 
+    def p_prior_reweight_edge(s, chk):
+        s = s.replace(upd_weight=perturb(s.upd_weight, chk))
+        s = priors.prior_reweight(s, cfg, edge_distinct=True)
+        return s.upd_weight.sum() + s.active.sum().astype(s.dtype)
+
+    def p_prior_reweight_table(s, chk):
+        s = s.replace(upd_weight=perturb(s.upd_weight, chk))
+        s = priors.prior_reweight(s, cfg, edge_distinct=False)
+        return s.upd_weight.sum() + s.active.sum().astype(s.dtype)
+
     def p_stage(s, chk):
         s = s.replace(merged_state=perturb(s.merged_state, chk))
         out = pipeline.extrapolation_stage(s, cfg)
@@ -198,19 +208,32 @@ def main() -> None:
         s = priors.reweight(s, cfg)
         return s.upd_weight.sum() + s.active.sum().astype(s.dtype)
 
+    def p_stage_table(s, chk):
+        s = s.replace(merged_state=perturb(s.merged_state, chk))
+        s = extrapolate.message_passing(s, cfg)
+        s = priors.prior_reweight(s, cfg, edge_distinct=False)
+        s = priors.prior_reweight(s, cfg, edge_distinct=False)
+        s = priors.update_degrees(s)
+        return s.upd_sv.sum() + s.active.sum().astype(s.dtype)
+
+    def p_stage_edge(s, chk):
+        s = s.replace(merged_state=perturb(s.merged_state, chk))
+        s = extrapolate.message_passing(s, cfg)
+        s = priors.prior_reweight(s, cfg, edge_distinct=True)
+        s = priors.prior_reweight(s, cfg, edge_distinct=True)
+        s = priors.update_degrees(s)
+        return s.upd_sv.sum() + s.active.sum().astype(s.dtype)
+
     measure("FULL extrapolation_stage", p_stage)
-    measure("mp + prior + reweight", p_mp_pr_rw)
-    measure("(prior + reweight) x2", p_two_rw)
-    measure("update_degrees", p_degrees)
+    measure("stage (table distinct)", p_stage_table)
+    measure("stage (edge distinct)", p_stage_edge)
+    measure("prior_reweight (edge distinct)", p_prior_reweight_edge)
+    measure("prior_reweight (table distinct)", p_prior_reweight_table)
     measure("message_passing", p_mp)
     measure("  packed[src] gather (E,17)", p_packed_gather)
     measure("  gnn_xyzr[dst] gather (E,4)", p_dst_gather)
-    measure("  cum var_ms table block", p_cum_table)
     measure("  edge math (jac+KF, no mem)", p_edge_math)
     measure("  final where writes", p_final_wheres)
-    measure("compute_prior_probabilities", p_priors)
-    measure("  _side_norms", p_side_norms)
-    measure("reweight (incl side norms)", p_reweight)
 
 
 if __name__ == "__main__":
