@@ -25,6 +25,14 @@ import time
 # (volumes 7-14)" table): 330,944 directed edges / 119 s extrapolation.
 REF_EDGES_PER_S = 2781.0
 
+# Reference wall-clock for the WHOLE 3-iteration schedule (cluster,
+# extrapolate, cluster, extraction after each, metadata after iter 2) at
+# volumes 7-14, measured via tools/make_ref_baseline.py --volumes 7 14
+# --run on this machine: execution_stages.txt start of clustering (220 s)
+# to end of final extraction (963 s) — event conversion and the
+# evaluation stages excluded on both sides (BASELINE.md round-3 section).
+REF_FULL_PIPELINE_S = 743.0
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -85,6 +93,40 @@ def main():
     edges_per_s = g.n_edges / dt
     log(f"[bench] extrapolation iteration: {dt * 1e3:.1f} ms "
         f"-> {edges_per_s:,.0f} edges/s (checksum {checksum})")
+
+    # ---- secondary metric: the WHOLE 3-iteration schedule fused in one
+    # jit (prepare + (stage, extract, metadata)x3 incl. device CCA) ----
+    g0, _ = trackml.load_event(trackml.DEFAULT_EVENT, cfg, dtype=jnp.float32)
+    n_full = 3
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop_full(gr, cfg):
+        def body(i, carry):
+            acc, chk = carry
+            # thread the carry through an input so XLA cannot hoist the
+            # loop-invariant body (numerically a no-op at f32)
+            gg = gr.replace(xyzr=gr.xyzr + chk * 1e-30)
+            final, accepted, _ = pipeline.full_pipeline(gg, cfg)
+            return (acc + accepted.sum(),
+                    chk + final.active.sum().astype(gr.dtype) * 1e-30)
+        acc, _ = jax.lax.fori_loop(0, n_full, body,
+                                   (jnp.int32(0), jnp.asarray(0.0, g0.dtype)))
+        return acc
+
+    t0 = time.time()
+    _ = loop_full(g0, cfg).item()
+    log(f"[bench] full_pipeline compile+first run {time.time() - t0:.1f}s")
+    t0 = time.time()
+    acc = loop_full(g0, cfg).item()
+    dt_full = (time.time() - t0) / n_full
+    log(f"[bench] full 3-iteration pipeline: {dt_full:.3f} s "
+        f"(accepted x{n_full} = {acc})")
+    print(json.dumps({
+        "metric": "full_pipeline_seconds_full_event",
+        "value": round(dt_full, 3),
+        "unit": "s",
+        "vs_baseline": round(REF_FULL_PIPELINE_S / dt_full, 2),
+    }))
 
     print(json.dumps({
         "metric": "message_passing_edges_per_s_full_event",
