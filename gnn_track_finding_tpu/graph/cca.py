@@ -82,7 +82,8 @@ def connected_components_paired(g, edge_ok: jax.Array) -> jax.Array:
     return jnp.where(g.node_mask, labels, init)
 
 
-def connected_components_fastsv(g, edge_ok: jax.Array) -> jax.Array:
+def connected_components_fastsv(g, edge_ok: jax.Array,
+                                warmup_rounds: int = 2) -> jax.Array:
     """FastSV/Shiloach-Vishkin-style device CCA: per round, hook the
     PARENT LABELS of each edge's endpoints onto the smaller side, then
     shortcut (f <- f[f]) — instead of one-hop label propagation.  Hooking
@@ -90,6 +91,20 @@ def connected_components_fastsv(g, edge_ok: jax.Array) -> jax.Array:
     with log(diameter) rather than diameter: 6 rounds / 43 ms on the full
     event vs ~50 rounds / 417 ms for the paired label-propagation variant
     (v5e, 55,701 nodes / 165,472 undirected pairs).
+
+    Two refinements over the plain hook-both-sides form:
+
+      * SCATTER-FREE WARMUP: `warmup_rounds` table-space label-prop
+        rounds first (same body as connected_components_tables — (N, K)
+        row gathers + min-reductions + 2-hop shortcutting, no scatters).
+        Track graphs are locally path-like, so two cheap rounds collapse
+        most short components and the expensive hooking loop starts from
+        a contracted forest.
+      * ONE scatter per hooking round, at the LARGER parent only.
+        Hooking lo onto fa when fa == lo is always a no-op (the
+        invariant f[x] <= x makes min(f[lo], lo) = f[lo]), so writing at
+        min(fa, fb) does nothing — only the max side's write can land.
+        Halves the serializing scatter-min traffic.
 
     Uses the interleaved edge layout (undirected pairs = even slice, like
     connected_components_paired) and width-2 packed gathers throughout.
@@ -103,24 +118,44 @@ def connected_components_fastsv(g, edge_ok: jax.Array) -> jax.Array:
     init = jnp.arange(n, dtype=jnp.int32)
     big = jnp.int32(n)
 
+    f0 = init
+    if warmup_rounds > 0:
+        # slot-space ok flags via scatter (a 1-D bool gather edge_ok[tab]
+        # would hit the pathological minor-axis path)
+        in_ok = jnp.zeros(g.in_edges.shape, bool).at[
+            g.dst, g.slot_in].max(edge_ok)
+        out_ok = jnp.zeros(g.out_edges.shape, bool).at[
+            g.src, g.slot_out].max(edge_ok)
+        in_nb = gtools.gather1d(g.src, jnp.maximum(g.in_edges, 0))
+        out_nb = gtools.gather1d(g.dst, jnp.maximum(g.out_edges, 0))
+
+        def warm(_, f):
+            l_in = jnp.where(in_ok, gtools.gather1d(f, in_nb), big).min(1)
+            l_out = jnp.where(out_ok, gtools.gather1d(f, out_nb), big).min(1)
+            f = jnp.minimum(f, jnp.minimum(l_in, l_out))
+            f = gtools.gather1d(f, f)
+            return gtools.gather1d(f, f)
+
+        f0 = jax.lax.fori_loop(0, warmup_rounds, warm, f0)
+
     def body(state):
         f, _ = state
         fa = gtools.gather1d(f, a)                 # f[u]
         fb = gtools.gather1d(f, b)                 # f[v]
         lo_e = jnp.where(ok, jnp.minimum(fa, fb), big)
-        # masked edges carry `big`, so their scatter-min is a no-op.
-        # hook the parent labels onto the smaller side (hooking at the
-        # NODES instead degenerates to one-hop label propagation:
-        # measured 49 rounds / 337 ms vs 6 rounds / 43 ms full-event)
-        new = f.at[fa].min(lo_e)
-        new = new.at[fb].min(lo_e)
+        hi_e = jnp.where(ok, jnp.maximum(fa, fb), 0)
+        # masked edges carry `big` (no-op min at row 0).  Hook the parent
+        # labels onto the smaller side (hooking at the NODES instead
+        # degenerates to one-hop label propagation: measured 49 rounds /
+        # 337 ms vs 6 rounds / 43 ms full-event)
+        new = f.at[hi_e].min(lo_e)
         # shortcutting: f <- f[f], twice
         new = gtools.gather1d(new, new)
         new = gtools.gather1d(new, new)
         return new, jnp.any(new != f)
 
     labels, _ = jax.lax.while_loop(lambda s: s[1], body,
-                                   (init, jnp.bool_(True)))
+                                   (f0, jnp.bool_(True)))
     return jnp.where(g.node_mask, labels, init)
 
 

@@ -65,6 +65,10 @@ def extrapolation_stage(g: GraphState, cfg: PipelineConfig,
     edge_shard.OwnerRouting enabling the node-owner all_to_all exchange
     in the prior/reweight passes."""
     g = extrapolate.message_passing(g, cfg, axis_name=axis_name)
+    if axis_name is None:
+        # single-device: the whole prior/reweight/degree tail runs
+        # table-resident in one scatter/gather cycle (priors.reweight_stage)
+        return priors.reweight_stage(g, cfg, n_passes=2)
     g = priors.prior_reweight(g, cfg, axis_name=axis_name, routing=routing)
     g = priors.prior_reweight(g, cfg, axis_name=axis_name, routing=routing)
     g = priors.update_degrees(g, axis_name=axis_name)

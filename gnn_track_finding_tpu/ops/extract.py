@@ -204,11 +204,10 @@ def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
     x_rz = jnp.stack([r0, jnp.zeros_like(r0)], axis=1)
     P_rz = jnp.tile(jnp.array([[srz2, 0.0], [0.0, 1000.0]], dtype), (c, 1, 1))
 
-    def step(carry, i):
+    def step(carry, xs):
         x_xy, P_xy, x_rz, P_rz, chi_xy, chi_rz = carry
+        i, p2, p3 = xs
         ok = (i + 1 < n_hits)
-        p2 = coords[:, i]
-        p3 = coords[:, i + 1]
         x2, y2, z2, r2 = (p2[:, k] for k in range(4))
         x3, y3, z3, r3 = (p3[:, k] for k in range(4))
 
@@ -296,8 +295,14 @@ def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
 
     init = (x_xy, P_xy, x_rz, P_rz,
             jnp.zeros((c,), dtype), jnp.zeros((c,), dtype))
+    # hit pairs ride the scan's xs (hit-major (H, C, 4) layout) instead of
+    # per-step dynamic slices of the candidate-major matrix; unroll trades
+    # loop-iteration overhead for straight-line code (31 tiny steps are
+    # latency-, not bandwidth-, bound)
+    ps = jnp.swapaxes(coords, 0, 1)                   # (H, C, 4)
+    xs = (jnp.arange(h - 1), ps[:-1], ps[1:])
     (x_xy, P_xy, x_rz, P_rz, chi_xy, chi_rz), _ = jax.lax.scan(
-        step, init, jnp.arange(h - 1))
+        step, init, xs, unroll=8)
 
     dof = jnp.maximum(n_hits - 2, 1).astype(dtype)
     pval_xy = gammaincc(0.5 * dof, 0.5 * chi_xy)
@@ -344,9 +349,15 @@ def extract_candidates(g: GraphState, cfg: PipelineConfig, labels=None):
 
     accepted = (processed & (pval_xy >= cfg.track_acceptance_pval)
                 & (pval_zr >= cfg.track_acceptance_pval))
-    order = jnp.argsort(~accepted, stable=True)
-    acc_nodes = mat[order]
-    acc_pvals = jnp.stack([pval_xy[order], pval_zr[order]], axis=1)
+    # accepted-first compaction as a rank scatter (a permutation, every
+    # destination unique) — same stable order as argsort(~accepted) without
+    # the sort
+    n_acc = jnp.sum(accepted)
+    dest = jnp.where(accepted, jnp.cumsum(accepted) - 1,
+                     n_acc + jnp.cumsum(~accepted) - 1).astype(jnp.int32)
+    acc_nodes = jnp.zeros_like(mat).at[dest].set(mat)
+    acc_pvals = jnp.zeros((mat.shape[0], 2), pval_xy.dtype).at[dest].set(
+        jnp.stack([pval_xy, pval_zr], axis=1))
     return ExtractionResult(
         labels=labels, row_of_node=row_of_node, cand_nodes=mat,
         cand_size=size, processed=processed, accepted=accepted,

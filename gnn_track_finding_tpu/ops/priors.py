@@ -339,6 +339,114 @@ def prior_reweight(g: GraphState, cfg: PipelineConfig,
                      active=g.active & ~drop)
 
 
+def reweight_stage(g: GraphState, cfg: PipelineConfig,
+                   n_passes: int = 2,
+                   distinct_backend: str | None = None) -> GraphState:
+    """TABLE-RESIDENT double prior/reweight + degree recount — the whole
+    post-message-passing tail of an extrapolation iteration
+    (extrapolate_merged_states.py:554-566: compute_prior_probabilities +
+    reweight, twice, then the degree refresh) in ONE scatter/gather cycle.
+
+    prior_reweight pays, per pass, three edge->table scatters and one
+    packed (E, L+4) row gather.  But every per-node reduction it needs
+    (layer counts, mixture denominator, distinct-x side norms, degrees)
+    is a ROW reduction over the (N, K) in-edge table, and the per-edge
+    values it consumes (x snapshot, weight*likelihood) live at unique
+    (dst, slot_in) cells of that same table.  So: scatter the edge
+    payloads into tables ONCE, run all passes as row-local table math
+    (weights evolve in table space — pass 2's scatters disappear
+    entirely), and gather the per-edge results (prior, weight, drop)
+    back ONCE at the end.  Numerics per pass are the same integer counts
+    and the same products as prior_reweight; only the mixture-denominator
+    summation order changes (row-sum over slots vs segment_sum over
+    edges — last-ulp, covered by the oracle tolerances).
+
+    The degree refresh (helper.py:67-73) rides the same tables: active
+    flags scatter once, pass drops clear table cells, and the final
+    degree is a row-sum — no separate segment_sum pass.
+    """
+    n = g.num_padded_nodes
+    n_l = g.n_layers
+    k_tab = g.in_edges.shape[1]
+    dtype = g.dtype
+
+    member = g.has_updated & g.active & g.edge_mask
+    xs = g.upd_xyzr[:, 0]
+    node_x = g.gnn_xyzr[:, 0]
+    layer_tab = g.in_src_layer
+    if distinct_backend is None:
+        distinct_backend = "xla"
+
+    # ---- scatter-in, once: padded edges route out of bounds (drop) so
+    # their (dst=0, slot=0) fill never races the real occupant.  The x
+    # table doubles as the membership flag (+inf sentinel on unwritten
+    # cells — a coordinate is never inf), saving a bool scatter ----
+    row = jnp.where(member, g.dst, n)
+    x_tab = jnp.full((n, k_tab), jnp.inf, dtype).at[row, g.slot_in].set(
+        xs, mode="drop")
+    ok_tab = x_tab < jnp.inf
+    wl_tab = jnp.zeros((n, k_tab), dtype).at[row, g.slot_in].set(
+        g.upd_weight * g.upd_likelihood, mode="drop")
+    lik_tab = jnp.zeros((n, k_tab), dtype).at[row, g.slot_in].set(
+        g.upd_likelihood, mode="drop")
+    act_tab = jnp.zeros((n, k_tab), bool).at[g.dst, g.slot_in].max(
+        g.edge_mask & g.active)
+
+    left_tab = x_tab < node_x[:, None]   # inf sentinel -> False, masked
+    prior_out = jnp.zeros((n, k_tab), dtype)
+    w_out = jnp.zeros((n, k_tab), dtype)
+
+    for _ in range(n_passes):
+        start = ok_tab
+        count_nl = jnp.stack(
+            [jnp.sum(start & (layer_tab == l), axis=1)
+             for l in range(n_l)], axis=1).astype(dtype)        # (N, L)
+        count_slot = jnp.zeros((n, k_tab), dtype)
+        for l in range(n_l):
+            count_slot = count_slot + jnp.where(
+                layer_tab == l, count_nl[:, l:l + 1], 0.0)
+        prior_tab = 1.0 / jnp.maximum(count_slot, 1.0)
+        denom = jnp.sum(wl_tab, axis=1)                         # (N,)
+        if distinct_backend in ("pallas", "pallas_interpret"):
+            from gnn_track_finding_tpu.ops import pallas_distinct
+            counts2 = pallas_distinct.distinct_counts_tile(
+                start, x_tab, node_x,
+                interpret=(distinct_backend == "pallas_interpret"))
+        else:
+            counts2 = _distinct_counts(start, x_tab, left_tab, dtype)
+        norm_tab = jnp.maximum(
+            jnp.where(left_tab, counts2[:, 0:1], counts2[:, 1:2]), 1.0)
+        from gnn_track_finding_tpu.ops import linalg
+        w_new = (wl_tab * prior_tab
+                 / jnp.maximum(denom, linalg.tiny(dtype))[:, None]
+                 / norm_tab)
+        prior_out = jnp.where(start, prior_tab, prior_out)
+        w_out = jnp.where(start, w_new, w_out)
+        drop_tab = start & (w_new < cfg.reweight_threshold)
+        ok_tab = start & ~drop_tab
+        act_tab = act_tab & ~drop_tab
+        wl_tab = jnp.where(ok_tab, w_new * lik_tab, 0.0)
+
+    degree = jnp.sum(act_tab, axis=1).astype(jnp.int32)
+
+    # ---- gather-out, once: TWO f32 one-hot multiply-reduce lookups
+    # (ops/gtools — the measured tile-safe two-index form).  No flag
+    # lookups needed: the ever-assigned set IS `member` (pass-2 members
+    # are a subset of pass-1's), and an edge was dropped — in WHICHEVER
+    # pass — iff its final weight sits below the threshold (a pass-1
+    # drop keeps its sub-threshold w1 because pass 2 never reassigns
+    # non-members; a surviving edge's final w2 passed the gate) ----
+    prior_e = gtools.table_lookup(prior_out, g.dst, g.slot_in)
+    w_e = gtools.table_lookup(w_out, g.dst, g.slot_in)
+    dropped_e = member & (w_e < cfg.reweight_threshold)
+    return g.replace(
+        upd_prior=jnp.where(member, prior_e, g.upd_prior),
+        upd_weight=jnp.where(member, w_e, g.upd_weight),
+        active=g.active & ~dropped_e,
+        degree=degree,
+    )
+
+
 def reweight(g: GraphState, cfg: PipelineConfig,
              axis_name=None) -> GraphState:
     """Gaussian-mixture reweighting with threshold deactivation

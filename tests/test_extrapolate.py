@@ -120,3 +120,32 @@ def test_prior_reweight_fused_matches_separate():
     np.testing.assert_array_equal(np.asarray(a2.active), np.asarray(b2.active))
     np.testing.assert_array_equal(np.asarray(a2.upd_weight),
                                   np.asarray(b2.upd_weight))
+
+
+def test_reweight_stage_matches_double_prior_reweight():
+    """The table-resident reweight_stage (one scatter/gather cycle for
+    BOTH passes + degrees) equals two prior_reweight passes followed by
+    update_degrees.  Priors and actives are exact (integer counts /
+    identical products); weights may differ in the last ulp because the
+    mixture denominator is a row-sum over in-table slots instead of a
+    segment_sum over edges."""
+    import jax
+    from gnn_track_finding_tpu.models import pipeline as pl
+    from gnn_track_finding_tpu.ops import extrapolate, priors
+
+    ev = toymc.generate_event(seed=11, num_tracks=24, edge_dphi_window=0.15)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    g = pl._prepare_jit(g, CFG)
+    g = pl._stage_jit(g, CFG, 1, None)
+    g = jax.jit(extrapolate.message_passing, static_argnums=1)(g, CFG)
+
+    a = priors.update_degrees(
+        priors.prior_reweight(priors.prior_reweight(g, CFG), CFG))
+    b = priors.reweight_stage(g, CFG, n_passes=2)
+    assert bool((g.has_updated & g.active & g.edge_mask).sum()) > 0
+    np.testing.assert_array_equal(np.asarray(a.active), np.asarray(b.active))
+    np.testing.assert_array_equal(np.asarray(a.degree), np.asarray(b.degree))
+    np.testing.assert_array_equal(np.asarray(a.upd_prior),
+                                  np.asarray(b.upd_prior))
+    np.testing.assert_allclose(np.asarray(a.upd_weight),
+                               np.asarray(b.upd_weight), rtol=1e-12)

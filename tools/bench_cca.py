@@ -46,10 +46,18 @@ def main() -> None:
         nop(jnp.int32(0)).item()
     rtt = (time.time() - t) / 5
 
+    import functools
     n_rep = 10
-    for name, fn in [("paired", cca.connected_components_paired),
-                     ("fastsv", cca.connected_components_fastsv),
-                     ("tables", cca.connected_components_tables)]:
+    for name, fn in [
+            ("paired", cca.connected_components_paired),
+            ("fastsv-w0", functools.partial(cca.connected_components_fastsv,
+                                            warmup_rounds=0)),
+            ("fastsv-w1", functools.partial(cca.connected_components_fastsv,
+                                            warmup_rounds=1)),
+            ("fastsv-w2", cca.connected_components_fastsv),
+            ("fastsv-w4", functools.partial(cca.connected_components_fastsv,
+                                            warmup_rounds=4)),
+            ("tables", cca.connected_components_tables)]:
         @jax.jit
         def loop(gg, okk, fn=fn):
             def body(i, acc):

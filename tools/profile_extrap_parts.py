@@ -224,7 +224,28 @@ def main() -> None:
         s = priors.update_degrees(s)
         return s.upd_sv.sum() + s.active.sum().astype(s.dtype)
 
+    def p_reweight_stage(s, chk):
+        s = s.replace(upd_weight=perturb(s.upd_weight, chk))
+        s = priors.reweight_stage(s, cfg, n_passes=2)
+        return s.upd_weight.sum() + s.active.sum().astype(s.dtype)
+
+    def p_reweight_stage1(s, chk):
+        s = s.replace(upd_weight=perturb(s.upd_weight, chk))
+        s = priors.reweight_stage(s, cfg, n_passes=1)
+        return s.upd_weight.sum() + s.active.sum().astype(s.dtype)
+
+    def p_stage_old(s, chk):
+        s = s.replace(merged_state=perturb(s.merged_state, chk))
+        s = extrapolate.message_passing(s, cfg)
+        s = priors.prior_reweight(s, cfg)
+        s = priors.prior_reweight(s, cfg)
+        s = priors.update_degrees(s)
+        return s.upd_sv.sum() + s.active.sum().astype(s.dtype)
+
     measure("FULL extrapolation_stage", p_stage)
+    measure("stage (old 2x prior_reweight)", p_stage_old)
+    measure("reweight_stage x2 (table-res)", p_reweight_stage)
+    measure("reweight_stage x1 (table-res)", p_reweight_stage1)
     measure("stage (table distinct)", p_stage_table)
     measure("stage (edge distinct)", p_stage_edge)
     measure("prior_reweight (edge distinct)", p_prior_reweight_edge)
