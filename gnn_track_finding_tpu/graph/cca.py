@@ -83,7 +83,7 @@ def connected_components_paired(g, edge_ok: jax.Array) -> jax.Array:
 
 
 def connected_components_fastsv(g, edge_ok: jax.Array,
-                                warmup_rounds: int = 2) -> jax.Array:
+                                warmup_rounds: int = 0) -> jax.Array:
     """FastSV/Shiloach-Vishkin-style device CCA: per round, hook the
     PARENT LABELS of each edge's endpoints onto the smaller side, then
     shortcut (f <- f[f]) — instead of one-hop label propagation.  Hooking
@@ -92,19 +92,19 @@ def connected_components_fastsv(g, edge_ok: jax.Array,
     event vs ~50 rounds / 417 ms for the paired label-propagation variant
     (v5e, 55,701 nodes / 165,472 undirected pairs).
 
-    Two refinements over the plain hook-both-sides form:
+    The decisive refinement (round 3): ONE scatter per hooking round, at
+    the LARGER parent only.  Hooking lo onto fa when fa == lo is always
+    a no-op (the invariant f[x] <= x makes min(f[lo], lo) = f[lo]), so
+    writing at min(fa, fb) does nothing — only the max side's write can
+    land.  Measured 45.6 -> 2.1 ms full event (v5e, tools/bench_cca.py):
+    beyond halving the scatter-min traffic, the single-destination form
+    lowers without the two-scatter serialization.
 
-      * SCATTER-FREE WARMUP: `warmup_rounds` table-space label-prop
-        rounds first (same body as connected_components_tables — (N, K)
-        row gathers + min-reductions + 2-hop shortcutting, no scatters).
-        Track graphs are locally path-like, so two cheap rounds collapse
-        most short components and the expensive hooking loop starts from
-        a contracted forest.
-      * ONE scatter per hooking round, at the LARGER parent only.
-        Hooking lo onto fa when fa == lo is always a no-op (the
-        invariant f[x] <= x makes min(f[lo], lo) = f[lo]), so writing at
-        min(fa, fb) does nothing — only the max side's write can land.
-        Halves the serializing scatter-min traffic.
+    warmup_rounds > 0 prepends scatter-free table-space label-prop
+    rounds (the connected_components_tables body).  Measured STRICTLY
+    SLOWER at every setting on the full event (w1 21 ms, w2 35 ms, w4
+    47 ms vs w0 2.1 ms — the (N, K) label gathers dominate); kept only
+    as an A/B knob, default off.
 
     Uses the interleaved edge layout (undirected pairs = even slice, like
     connected_components_paired) and width-2 packed gathers throughout.

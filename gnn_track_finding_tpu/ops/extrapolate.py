@@ -181,13 +181,17 @@ def message_passing(g: GraphState, cfg: PipelineConfig,
             vms_t = jnp.where(endcap_t,
                               vms_t * jnp.abs(dr_t) / jnp.abs(dz_t), vms_t)
             slot_ms = jnp.where(proc_slot, vms_t, 0.0)
-        cum = jnp.cumsum(slot_ms, axis=1)          # inclusive
-        # two-index lookup as row gather + one-hot multiply-reduce: XLA
-        # fuses the select into the gather consumer, so the (E, K)
-        # intermediate never materializes (0.9 ms vs 4.9 ms for the old
-        # width-8 regroup + take_along — tools/profile_lookup_forms.py)
-        cum_e = gtools.table_lookup(cum, g.src, g.slot_out)
-        total_ms = cum[:, -1]
+        # inclusive-cumsum-at-slot as ONE triangular-masked row-gather
+        # reduce: cum_e = sum_{k <= slot_out} slot_ms[src, k].  Same
+        # one-hot multiply-reduce lowering as gtools.table_lookup (the
+        # (E, K) intermediate fuses into the gather consumer; 0.9 ms vs
+        # 4.9 ms take_along forms — tools/profile_lookup_forms.py), with
+        # the (N, K) cumsum materialization folded into the mask.
+        rows_e = slot_ms[g.src]                    # (E, K)
+        tri = (jnp.arange(slot_ms.shape[1], dtype=g.slot_out.dtype)[None, :]
+               <= g.slot_out[:, None])
+        cum_e = jnp.sum(jnp.where(tri, rows_e, 0.0), axis=1)
+        total_ms = jnp.sum(slot_ms, axis=1)
         new_merged_cov = g.merged_cov.at[:, 1, 1].add(
             jnp.where(g.has_merged, total_ms, 0.0))
     else:

@@ -83,3 +83,54 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(cands, out.candidates):
         assert np.array_equal(a.nodes, b.nodes)
         assert a.iteration == b.iteration
+
+
+def test_prefetch_preserves_order_and_values():
+    """Double-buffered prefetch (data/prefetch.py) yields the same device
+    states, in order, as sequential loading — including with a slow
+    factory in the middle and depth > len(stream)."""
+    from gnn_track_finding_tpu.data import prefetch as pf
+    import time as _time
+
+    def make(seed, slow=False):
+        def factory():
+            if slow:
+                _time.sleep(0.05)
+            ev = toymc.generate_event(seed=seed, num_tracks=6)
+            return build_graph_state(ev.xyzr, ev.vivl, ev.truth,
+                                     ev.edge_pairs, CFG)[0]
+        return factory
+
+    seeds = [1, 2, 3, 4]
+    factories = [make(s, slow=(s == 2)) for s in seeds]
+    got = list(pf.prefetch(factories, depth=2))
+    assert len(got) == len(seeds)
+    for s, g in zip(seeds, got):
+        ref = make(s)()
+        np.testing.assert_array_equal(np.asarray(g.xyzr),
+                                      np.asarray(ref.xyzr))
+        np.testing.assert_array_equal(np.asarray(g.src), np.asarray(ref.src))
+    # depth larger than the stream, and depth=1 (no lookahead) both work
+    assert len(list(pf.prefetch([make(7)], depth=8))) == 1
+    assert len(list(pf.prefetch([make(7), make(8)], depth=1))) == 2
+
+
+def test_prefetch_propagates_factory_error_in_position():
+    from gnn_track_finding_tpu.data import prefetch as pf
+
+    def boom():
+        raise RuntimeError("ingest failed")
+
+    def ok():
+        ev = toymc.generate_event(seed=5, num_tracks=6)
+        return build_graph_state(ev.xyzr, ev.vivl, ev.truth,
+                                 ev.edge_pairs, CFG)[0]
+
+    it = pf.prefetch([ok, boom, ok], depth=2)
+    next(it)
+    try:
+        next(it)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised

@@ -242,10 +242,37 @@ def main() -> None:
         s = priors.update_degrees(s)
         return s.upd_sv.sum() + s.active.sum().astype(s.dtype)
 
+    def p_reweight_scatters(s, chk):
+        member = s.has_updated & s.active & s.edge_mask
+        n_ = s.num_padded_nodes
+        ktab = s.in_edges.shape[1]
+        xs = perturb(s.upd_xyzr[:, 0], chk)
+        row = jnp.where(member, s.dst, n_)
+        x_tab = jnp.full((n_, ktab), jnp.inf, s.dtype).at[
+            row, s.slot_in].set(xs, mode="drop")
+        wl_tab = jnp.zeros((n_, ktab), s.dtype).at[row, s.slot_in].set(
+            s.upd_weight * s.upd_likelihood, mode="drop")
+        lik_tab = jnp.zeros((n_, ktab), s.dtype).at[row, s.slot_in].set(
+            s.upd_likelihood, mode="drop")
+        act_tab = jnp.zeros((n_, ktab), bool).at[s.dst, s.slot_in].max(
+            s.edge_mask & s.active)
+        return (x_tab.sum() + wl_tab.sum() + lik_tab.sum()
+                + act_tab.sum().astype(s.dtype))
+
+    def p_reweight_lookups(s, chk):
+        from gnn_track_finding_tpu.ops import gtools
+        tab = perturb(s.out_head_xyzr[..., 0], chk)   # any (N, K) f32
+        a = gtools.table_lookup(tab, s.dst, s.slot_in)
+        b = gtools.table_lookup(tab * 2.0, s.dst, s.slot_in)
+        return a.sum() + b.sum()
+
     measure("FULL extrapolation_stage", p_stage)
     measure("stage (old 2x prior_reweight)", p_stage_old)
     measure("reweight_stage x2 (table-res)", p_reweight_stage)
     measure("reweight_stage x1 (table-res)", p_reweight_stage1)
+    measure("  reweight scatter-in (4 tabs)", p_reweight_scatters)
+    measure("  reweight lookup-out (2 f32)", p_reweight_lookups)
+    measure("  mp cum-table block", p_cum_table)
     measure("stage (table distinct)", p_stage_table)
     measure("stage (edge distinct)", p_stage_edge)
     measure("prior_reweight (edge distinct)", p_prior_reweight_edge)
