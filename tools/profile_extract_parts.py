@@ -115,9 +115,31 @@ def main() -> None:
         out = extract.apply_extraction(s, res, cfg)
         return (out.node_mask.sum() + out.active.sum()).astype(s.dtype)
 
+    def p_sort(s, lab, chk):
+        lab = lab + (chk > 1e30)
+        alive = s.node_mask
+        big = jnp.int32(s.num_padded_nodes)
+        l2 = jnp.where(alive, lab, big)
+        order = jnp.lexsort((-s.xyzr[:, 3], l2))
+        return order.sum().astype(s.dtype)
+
+    def p_kf(s, lab, chk):
+        # rotate + KF fit from a fixed candidate matrix (coords perturbed
+        # by chk so the loop body is not hoisted)
+        lab = lab + (chk > 1e30)
+        mat, size, _ = extract._candidate_matrix(s, lab, h, cfg.min_track_hits)
+        coords, valid_m, can_process, _ = extract._proximity_merge(
+            s, cfg, mat, size)
+        n_hits = jnp.sum(valid_m, axis=1)
+        coords_r = extract._rotate_tracks(coords, valid_m, n_hits, cfg)
+        pxy, pzr = extract._kf_fit(coords_r, valid_m, n_hits, cfg)
+        return (pxy.sum() + pzr.sum()).astype(s.dtype)
+
     measure("device CCA (fastsv)", p_cca)
+    measure("lexsort only", p_sort)
     measure("candidate matrix (lexsort)", p_matrix)
     measure("  + proximity merge", p_merge)
+    measure("  + rotate + KF fit", p_kf)
     measure("extract_candidates (given labels)", p_full)
     measure("  + apply", p_full_apply)
     measure("extract+apply (device CCA)", p_full_devcca)
