@@ -83,7 +83,8 @@ def connected_components_paired(g, edge_ok: jax.Array) -> jax.Array:
 
 
 def connected_components_fastsv(g, edge_ok: jax.Array,
-                                warmup_rounds: int = 0) -> jax.Array:
+                                warmup_rounds: int = 0,
+                                jumps: int = 2) -> jax.Array:
     """FastSV/Shiloach-Vishkin-style device CCA: per round, hook the
     PARENT LABELS of each edge's endpoints onto the smaller side, then
     shortcut (f <- f[f]) — instead of one-hop label propagation.  Hooking
@@ -92,19 +93,27 @@ def connected_components_fastsv(g, edge_ok: jax.Array,
     event vs ~50 rounds / 417 ms for the paired label-propagation variant
     (v5e, 55,701 nodes / 165,472 undirected pairs).
 
-    The decisive refinement (round 3): ONE scatter per hooking round, at
-    the LARGER parent only.  Hooking lo onto fa when fa == lo is always
-    a no-op (the invariant f[x] <= x makes min(f[lo], lo) = f[lo]), so
-    writing at min(fa, fb) does nothing — only the max side's write can
-    land.  Measured 45.6 -> 2.1 ms full event (v5e, tools/bench_cca.py):
-    beyond halving the scatter-min traffic, the single-destination form
-    lowers without the two-scatter serialization.
+    Round-3 refinements: ONE scatter per hooking round, at the LARGER
+    parent only — hooking lo onto fa when fa == lo is always a no-op
+    (the invariant f[x] <= x makes min(f[lo], lo) = f[lo]), so writing
+    at min(fa, fb) does nothing and only the max side's write can land —
+    and a SPECIALISED FIRST ROUND: with f == identity the two edge-sized
+    label gathers are the identity, so round 1 is just the scatter-min +
+    shortcut.  Honest full-event numbers (v5e, tools/bench_cca.py, loop
+    body carry-dependent so XLA cannot hoist the CCA out of the timing
+    loop): jumps=2 32.7 ms (1 specialised + 5 full rounds; ~5.5 ms/round
+    = 2 edge-sized label gathers + 1 scatter-min + 2 node-sized
+    shortcut gathers) vs j1 43.8 / j3 35.8 / j4 38.4, label-propagation
+    427.9, table-space 2801.  An early-stop variant (stop once every
+    component still mutating is bigger than the extraction size gate)
+    was measured structurally unprofitable: small components are clean
+    after round 3 of 5, but the per-round dirtiness test (segment count
+    + two label-class gathers) costs more than the two saved rounds.
 
     warmup_rounds > 0 prepends scatter-free table-space label-prop
-    rounds (the connected_components_tables body).  Measured STRICTLY
-    SLOWER at every setting on the full event (w1 21 ms, w2 35 ms, w4
-    47 ms vs w0 2.1 ms — the (N, K) label gathers dominate); kept only
-    as an A/B knob, default off.
+    rounds (the connected_components_tables body) — strictly slower
+    (w1 66.2 ms: the (N, K) label gathers dominate); kept only as an
+    A/B knob, default off.
 
     Uses the interleaved edge layout (undirected pairs = even slice, like
     connected_components_paired) and width-2 packed gathers throughout.
@@ -138,6 +147,11 @@ def connected_components_fastsv(g, edge_ok: jax.Array,
 
         f0 = jax.lax.fori_loop(0, warmup_rounds, warm, f0)
 
+    def shortcut(f):
+        for _ in range(jumps):
+            f = gtools.gather1d(f, f)
+        return f
+
     def body(state):
         f, _ = state
         fa = gtools.gather1d(f, a)                 # f[u]
@@ -149,10 +163,14 @@ def connected_components_fastsv(g, edge_ok: jax.Array,
         # degenerates to one-hop label propagation: measured 49 rounds /
         # 337 ms vs 6 rounds / 43 ms full-event)
         new = f.at[hi_e].min(lo_e)
-        # shortcutting: f <- f[f], twice
-        new = gtools.gather1d(new, new)
-        new = gtools.gather1d(new, new)
+        new = shortcut(new)
         return new, jnp.any(new != f)
+
+    if warmup_rounds == 0:
+        # first round specialised: with f == identity, f[u] == u and
+        # f[v] == v, so the two edge-sized label gathers vanish
+        f0 = shortcut(init.at[jnp.where(ok, jnp.maximum(a, b), 0)].min(
+            jnp.where(ok, jnp.minimum(a, b), big)))
 
     labels, _ = jax.lax.while_loop(lambda s: s[1], body,
                                    (f0, jnp.bool_(True)))

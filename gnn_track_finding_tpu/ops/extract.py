@@ -334,14 +334,18 @@ def extract_candidates(g: GraphState, cfg: PipelineConfig, labels=None):
     processed = big_enough & can_process & (n_hits >= cfg.min_track_hits)
 
     # compact each row: push invalid slots to the end, radius order kept.
-    # rank-scatter instead of a stable argsort + take_along pair — the
-    # sort-based form lowers ~10x slower (tools/profile_lookup_forms.py)
+    # Row-LOCAL one-hot contraction (einsum on the (H, H) permutation
+    # plane) instead of a (C, H) two-index scatter: the scatter lowers
+    # per-element (measured ~20 ms of the stage at full event,
+    # tools/profile_extract_parts.py round 3); the contraction is a
+    # batched (H, H) x (H, 4) matmul — MXU/VPU work, ~1 ms.  A stable
+    # argsort + take_along pair is ~10x slower still
+    # (tools/profile_lookup_forms.py).
     c, h_ = valid_m.shape
     rank = jnp.cumsum(valid_m, axis=1) - 1                  # (C, H)
-    rows = jnp.where(valid_m, jnp.arange(c, dtype=jnp.int32)[:, None], c)
-    cols = jnp.where(valid_m, rank, 0)
-    coords_c = jnp.zeros_like(coords).at[rows, cols].set(
-        coords, mode="drop")
+    perm = (valid_m[:, :, None]
+            & (rank[:, :, None] == jnp.arange(h_, dtype=rank.dtype)[None, None, :]))
+    coords_c = jnp.einsum("cij,cik->cjk", perm.astype(coords.dtype), coords)
     valid_c = jnp.arange(h_, dtype=jnp.int32)[None, :] < n_hits[:, None]
 
     coords_r = _rotate_tracks(coords_c, valid_c, n_hits, cfg)

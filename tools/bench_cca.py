@@ -50,27 +50,34 @@ def main() -> None:
     n_rep = 10
     for name, fn in [
             ("paired", cca.connected_components_paired),
-            ("fastsv-w0", functools.partial(cca.connected_components_fastsv,
-                                            warmup_rounds=0)),
+            ("fastsv-j1", functools.partial(cca.connected_components_fastsv,
+                                            jumps=1)),
+            ("fastsv-j2", cca.connected_components_fastsv),
+            ("fastsv-j3", functools.partial(cca.connected_components_fastsv,
+                                            jumps=3)),
+            ("fastsv-j4", functools.partial(cca.connected_components_fastsv,
+                                            jumps=4)),
             ("fastsv-w1", functools.partial(cca.connected_components_fastsv,
                                             warmup_rounds=1)),
-            ("fastsv-w2", cca.connected_components_fastsv),
-            ("fastsv-w4", functools.partial(cca.connected_components_fastsv,
-                                            warmup_rounds=4)),
             ("tables", cca.connected_components_tables)]:
+        # the loop body must DEPEND on the carry: with loop-invariant
+        # inputs XLA hoists the whole CCA out of the fori_loop and the
+        # "per-iteration" time reads ~n_rep-fold too fast (the round-3
+        # "2.1 ms" regression of exactly this bench).  Perturb the edge
+        # mask with an always-false carry-dependent bit instead.
         @jax.jit
         def loop(gg, okk, fn=fn):
             def body(i, acc):
-                return acc + fn(gg, okk).sum()
-            return jax.lax.fori_loop(0, n_rep, body, jnp.int64(0)
-                                     if jax.config.x64_enabled else jnp.int32(0))
+                ok_i = okk & (acc < jnp.int32(2 ** 30))
+                return acc + fn(gg, ok_i).sum() % jnp.int32(65536)
+            return jax.lax.fori_loop(0, n_rep, body, jnp.int32(0))
         chk = loop(g1, ok).item()
         t0 = time.time()
         chk = loop(g1, ok).item()
         dt = (time.time() - t0 - rtt) / n_rep
         # same labels?
         lab = np.asarray(jax.jit(fn)(g1, ok))
-        print(f"{name:8s} {dt * 1e3:8.2f} ms  (checksum {chk}, "
+        print(f"{name:10s} {dt * 1e3:8.2f} ms  (checksum {chk}, "
               f"n_components {len(np.unique(lab[np.asarray(g1.node_mask)]))})")
 
 
