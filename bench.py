@@ -63,7 +63,10 @@ def main():
     prep = jax.jit(pipeline.prepare, static_argnums=1)
     clus = jax.jit(pipeline.cluster_stage, static_argnums=(1, 2))
 
-    n_rep = 10
+    # 40 fused reps: the ~25 ms relay round-trip amortizes to <1 ms/iter
+    # (block_until_ready does not drain the relay, so the loop is timed
+    # end-to-end including one round trip)
+    n_rep = 40
 
     # fused n_rep-iteration loop: measures pure device time per iteration;
     # the scalar .item() forces execution to finish (block_until_ready does

@@ -296,13 +296,13 @@ def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
     init = (x_xy, P_xy, x_rz, P_rz,
             jnp.zeros((c,), dtype), jnp.zeros((c,), dtype))
     # hit pairs ride the scan's xs (hit-major (H, C, 4) layout) instead of
-    # per-step dynamic slices of the candidate-major matrix; unroll trades
-    # loop-iteration overhead for straight-line code (31 tiny steps are
-    # latency-, not bandwidth-, bound)
+    # per-step dynamic slices of the candidate-major matrix; FULL unroll
+    # turns the 31 tiny steps into one straight-line kernel (each step is
+    # ~100 vector ops on (C,) lanes — launch-, not bandwidth-, bound)
     ps = jnp.swapaxes(coords, 0, 1)                   # (H, C, 4)
     xs = (jnp.arange(h - 1), ps[:-1], ps[1:])
     (x_xy, P_xy, x_rz, P_rz, chi_xy, chi_rz), _ = jax.lax.scan(
-        step, init, xs, unroll=8)
+        step, init, xs, unroll=True)
 
     dof = jnp.maximum(n_hits - 2, 1).astype(dtype)
     pval_xy = gammaincc(0.5 * dof, 0.5 * chi_xy)
@@ -387,7 +387,13 @@ def apply_extraction(g: GraphState, res: ExtractionResult,
     left = jax.ops.segment_sum(mask1.astype(jnp.int32), comp, n + 1)
     frag = gtools.gather1d(left, g.component) < cfg.min_track_hits
     new_node_mask = mask1 & ~frag
-    new_edge_mask = (g.edge_mask & gtools.gather1d(new_node_mask, g.src)
-                     & gtools.gather1d(new_node_mask, g.dst))
+    # endpoint-alive test on undirected PAIRS: edge 2i+1 is edge 2i's
+    # reverse (build layout), so mask[src]&mask[dst] is pair-symmetric —
+    # gather at the even half only and mirror (halves the edge-sized
+    # gather traffic)
+    alive_pair = (gtools.gather1d(new_node_mask, g.src[0::2])
+                  & gtools.gather1d(new_node_mask, g.dst[0::2]))
+    alive_e = jnp.repeat(alive_pair, 2, total_repeat_length=g.src.shape[0])
+    new_edge_mask = g.edge_mask & alive_e
     return g.replace(node_mask=new_node_mask, edge_mask=new_edge_mask,
                      active=g.active & new_edge_mask)

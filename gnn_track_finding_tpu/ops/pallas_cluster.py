@@ -91,10 +91,14 @@ def _merge(mean1, cov1, mean2, cov2):
     return mm, mc
 
 
-def _kl(mean1, cov1, mean2, cov2, bug_compat):
-    """clustering.py:90-94 (elementwise-product trace under bug_compat)."""
-    i1 = _inv3(cov1)
-    i2 = _inv3(cov2)
+def _kl_pre(mean1, cov1, i1, mean2, cov2, i2, bug_compat):
+    """clustering.py:90-94 (elementwise-product trace under bug_compat).
+
+    Takes both inverses PRECOMPUTED: i1 (per-k, loop-invariant across the
+    greedy steps) and i2 (the running merged cov's inverse, shared by all
+    K distance evaluations of a step) — hoisting them out of the (step, k)
+    double loop removes ~2/3 of the kernel's vector ops while producing
+    bit-identical values (same products, same order)."""
     if bug_compat:
         tr = sum((cov1[d] - cov2[d]) * (i2[d] - i1[d]) for d in (0, 4, 8))
     else:
@@ -197,22 +201,33 @@ def _kernel(cfg: PipelineConfig, chi2_thr: float, K: int,
             out = vals if out is None else tuple(o + v for o, v in zip(out, vals))
         return out
 
-    pm_i = select(bi, psv)
-    pc_i = select(bi, pcov)
-    pm_j = select(bj, psv)
-    pc_j = select(bj, pcov)
-    jm_i = select(bi, jsv)
-    jc_i = select(bi, jcov)
-    jm_j = select(bj, jsv)
-    jc_j = select(bj, jcov)
-    pr_i = select(bi, [(p,) for p in prior])[0]
-    pr_j = select(bj, [(p,) for p in prior])[0]
-
-    # guard: unfound lanes get identity covs to keep inverses finite
+    # guard: unfound lanes get identity covs to keep inverses finite.
+    # Precompute ONCE per k: the fixed covs, their inverses, and the
+    # inverse-times-mean products — every later select and merge then
+    # works on these instead of re-inverting selected covariances
+    # (values are bit-identical: same products, same order as _merge).
     eye = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
     fix = lambda cov: tuple(jnp.where(found, c, e) for c, e in zip(cov, eye))
-    pm, pc = _merge(pm_i, fix(pc_i), pm_j, fix(pc_j))
-    jm, jc = _merge(jm_i, fix(jc_i), jm_j, fix(jc_j))
+    pcov_safe = [fix(pcov[k]) for k in range(K)]
+    jcov_safe = [fix(jcov[k]) for k in range(K)]
+    inv_pcov = [_inv3(pcov_safe[k]) for k in range(K)]
+    inv_jcov = [_inv3(jcov_safe[k]) for k in range(K)]
+    ivm_p = [_mat3_vec(inv_pcov[k], psv[k]) for k in range(K)]
+    ivm_j = [_mat3_vec(inv_jcov[k], jsv[k]) for k in range(K)]
+
+    def merge_pre(i1, mv1, i2, mv2):
+        """_merge given precomputed inverses and inverse-times-means."""
+        s = _mat3_add(i1, i2)
+        mc = _inv3(s)
+        mm = _mat3_vec(mc, tuple(x + y for x, y in zip(mv1, mv2)))
+        return mm, mc
+
+    pm, pc = merge_pre(select(bi, inv_pcov), select(bi, ivm_p),
+                       select(bj, inv_pcov), select(bj, ivm_p))
+    jm, jc = merge_pre(select(bi, inv_jcov), select(bi, ivm_j),
+                       select(bj, inv_jcov), select(bj, ivm_j))
+    pr_i = select(bi, [(p,) for p in prior])[0]
+    pr_j = select(bj, [(p,) for p in prior])[0]
     mprior = pr_i + pr_j
 
     onehot = lambda k_vec: [(k_vec == k) for k in range(K)]
@@ -221,26 +236,29 @@ def _kernel(cfg: PipelineConfig, chi2_thr: float, K: int,
     stopped = ~found
 
     # ---- greedy KL absorption, 14 masked steps (clustering.py:261-287) ----
-    jcov_safe = [fix(jcov[k]) for k in range(K)]
     for _ in range(K - 2):
+        # the running covs' inverses: computed ONCE per step, shared by
+        # all K KL evaluations and the merge (same values _kl/_merge
+        # would recompute 17 times)
+        i2j = _inv3(jc)
+        i2p = _inv3(pc)
         kbest = jnp.zeros_like(bi)
         kval = jnp.full_like(best, jnp.inf)
         for k in range(K):
-            kl = _kl(jsv[k], jcov_safe[k], jm, jc, cfg.bug_compat)
+            kl = _kl_pre(jsv[k], jcov_safe[k], inv_jcov[k], jm, jc, i2j,
+                         cfg.bug_compat)
             kl = jnp.where(remaining[k], kl, big)
             upd = kl < kval
             kval = jnp.where(upd, kl, kval)
             kbest = jnp.where(upd, k, kbest)
         do = (~stopped) & (kval < klthr)
 
-        sm_p = select(kbest, psv)
-        sc_p = fix(select(kbest, pcov))
-        sm_j = select(kbest, jsv)
-        sc_j = fix(select(kbest, jcov))
         s_pr = select(kbest, [(p,) for p in prior])[0]
 
-        npm, npc = _merge(sm_p, sc_p, pm, pc)
-        njm, njc = _merge(sm_j, sc_j, jm, jc)
+        npm, npc = merge_pre(select(kbest, inv_pcov), select(kbest, ivm_p),
+                             i2p, _mat3_vec(i2p, pm))
+        njm, njc = merge_pre(select(kbest, inv_jcov), select(kbest, ivm_j),
+                             i2j, _mat3_vec(i2j, jm))
         pm = tuple(jnp.where(do, a, b) for a, b in zip(npm, pm))
         pc = tuple(jnp.where(do, a, b) for a, b in zip(npc, pc))
         jm = tuple(jnp.where(do, a, b) for a, b in zip(njm, jm))

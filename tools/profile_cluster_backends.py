@@ -69,14 +69,50 @@ def main() -> None:
         dt = (time.time() - t0 - rtt) / n
         print(f"{name:36s} {dt * 1e3:8.2f} ms/iter  (first {first:.1f}s)")
 
+    from gnn_track_finding_tpu.ops import priors
+
+    # cluster() never writes its own INPUTS (it reads has_updated/edge_mask/
+    # upd_*/seed_* and writes merged_*/active), so a plain state-threaded
+    # loop lets XLA hoist the whole kernel out and read ~n_rep-fold too
+    # fast (the round-2 "7.8 ms" pallas reading).  Perturb the prior the
+    # kernel consumes with a carry-dependent no-op.
+    def dep_seed(s):
+        f = (s.merged_state.sum() < 2.0 ** 100).astype(s.dtype)
+        return s.replace(seed_prior=s.seed_prior * f)
+
+    def dep_upd(s):
+        f = (s.merged_state.sum() < 2.0 ** 100).astype(s.dtype)
+        return s.replace(upd_prior=s.upd_prior * f)
+
     measure("cluster xla (seed)",
-            lambda s: clustering.cluster(s, cfg, False, backend="xla"), g)
+            lambda s: clustering.cluster(dep_seed(s), cfg, False, backend="xla"), g)
     measure("cluster pallas (seed)",
-            lambda s: clustering.cluster(s, cfg, False, backend="pallas"), g)
+            lambda s: clustering.cluster(dep_seed(s), cfg, False, backend="pallas"), g)
     measure("cluster xla (updated)",
-            lambda s: clustering.cluster(s, cfg, True, backend="xla"), g1)
+            lambda s: clustering.cluster(dep_upd(s), cfg, True, backend="xla"), g1)
     measure("cluster pallas (updated)",
-            lambda s: clustering.cluster(s, cfg, True, backend="pallas"), g1)
+            lambda s: clustering.cluster(dep_upd(s), cfg, True, backend="pallas"), g1)
+    # the stage tail around the kernel (pipeline.cluster_stage).  These
+    # read-only passes must be made carry-DEPENDENT or XLA hoists them
+    # out of the timing fori_loop (the same artifact bench_cca had):
+    # thread the previous iteration's degree into the active mask.
+    def dep(s):
+        return s.replace(active=s.active & (s.degree.sum() < 2 ** 30))
+
+    measure("tail: update_degrees",
+            lambda s: priors.update_degrees(dep(s)), g1)
+    measure("tail: + mixture_weights", lambda s: priors.compute_mixture_weights(
+        priors.update_degrees(dep(s)), True), g1)
+    measure("tail: + prior_probabilities", lambda s: priors.compute_prior_probabilities(
+        priors.compute_mixture_weights(priors.update_degrees(dep(s)), True), True), g1)
+    measure("cluster_stage (updated, full)",
+            lambda s: pipeline.cluster_stage(s, cfg, True), g1)
+    # lane-tile sweep for the pallas kernel
+    for t in (256, 1024, 2048):
+        measure(f"cluster pallas tile={t}",
+                lambda s, t=t: clustering.cluster(dep_upd(s), cfg, True,
+                                                  backend="pallas",
+                                                  pallas_tile=t), g1)
 
 
 if __name__ == "__main__":
