@@ -61,3 +61,23 @@ def test_pallas_cluster_matches_xla():
     gx = clustering.cluster(g, CFG, False, backend="xla")
     gp = clustering.cluster(g, CFG, False, backend="pallas")
     _assert_equal(gx, gp)
+
+
+def test_pallas_gated_compaction_with_lut_thresholds():
+    """The round-3 gated compaction scatters per-node inputs into a ~N/3
+    row space before the kernel (clustering.py pallas branch) — exercise
+    the compaction + scatter-back AND the per-node LUT threshold path
+    (klthr_c scatter) against the XLA backend, which takes the
+    uncompacted route."""
+    import jax.numpy as jnp
+
+    g = _seeded_graph()
+    # per-node thresholds: vary across nodes so a scatter misroute would
+    # change which states each node absorbs
+    n = g.num_padded_nodes
+    thr = 2.0 + jnp.arange(n, dtype=g.dtype) % 7
+    gx = clustering.cluster(g, CFG, False, kl_thresholds=thr,
+                            backend="xla", kc=4)
+    gp = clustering.cluster(g, CFG, False, kl_thresholds=thr,
+                            backend="pallas_interpret", kc=4)
+    _assert_equal(gx, gp)
