@@ -149,13 +149,13 @@ def connected_components_fastsv(g, edge_ok: jax.Array,
 
     def shortcut(f):
         for _ in range(jumps):
-            f = gtools.gather1d(f, f)
+            f = gtools.gather1d_blocked(f, f)
         return f
 
     def body(state):
         f, _ = state
-        fa = gtools.gather1d(f, a)                 # f[u]
-        fb = gtools.gather1d(f, b)                 # f[v]
+        fa = gtools.gather1d_blocked(f, a)         # f[u]
+        fb = gtools.gather1d_blocked(f, b)         # f[v]
         lo_e = jnp.where(ok, jnp.minimum(fa, fb), big)
         hi_e = jnp.where(ok, jnp.maximum(fa, fb), 0)
         # masked edges carry `big` (no-op min at row 0).  Hook the parent

@@ -274,13 +274,19 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     chi2 = jnp.where(chi2 == 0.0, jnp.inf, chi2)
     flat = chi2.reshape(chi2.shape[0], -1)
     best = jnp.argmin(flat, axis=1)
-    best_val = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    best_val = jnp.min(flat, axis=1)   # == flat[best] without the gather
     i0 = best // kc
     i1 = best % kc
     found = gate & (best_val < chi2_thr) & jnp.isfinite(best_val)
 
-    take = lambda arr, idx: jnp.take_along_axis(
-        arr, idx[:, None].reshape((-1,) + (1,) * (arr.ndim - 1)), axis=1)[:, 0]
+    # one-hot select over the kc axis instead of minor-axis take_along_axis
+    # (the pathological TPU gather; docs/DESIGN.md "TPU performance model")
+    ar_kc = jnp.arange(kc)[None, :]
+
+    def take(arr, idx):
+        oh = (ar_kc == idx[:, None]).reshape(
+            arr.shape[:2] + (1,) * (arr.ndim - 2))
+        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
     pm, pc = linalg.merge_gaussians(take(p_sv, i0), take(p_cov, i0),
                                     take(p_sv, i1), take(p_cov, i1))
     jm, jc = linalg.merge_gaussians(take(j_sv, i0), take(j_cov, i0),
@@ -297,7 +303,7 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
                                 bug_compat=cfg.bug_compat)
         kl = jnp.where(remaining, kl, jnp.inf)
         k_best = jnp.argmin(kl, axis=1)
-        k_val = jnp.take_along_axis(kl, k_best[:, None], axis=1)[:, 0]
+        k_val = jnp.min(kl, axis=1)    # == kl[k_best] without the gather
         do = (~stopped) & (k_val < kl_thr) & jnp.isfinite(k_val)
 
         npm, npc = linalg.merge_gaussians(take(p_sv, k_best), take(p_cov, k_best), pm, pc)

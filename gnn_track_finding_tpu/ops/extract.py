@@ -64,7 +64,10 @@ def _candidate_matrix(g: GraphState, labels: jax.Array, h: int,
     from gnn_track_finding_tpu.ops import gtools
 
     n = g.num_padded_nodes
-    c = n // min_hits + 1
+    # rounded up to a multiple of 64 so C-sized arrays (accepted, pvals)
+    # take gather1d's blocked fast path downstream; the last row stays the
+    # scatter dump (legit rows never exceed n // min_hits - 1)
+    c = -(-(n // min_hits + 1) // 64) * 64
     alive = g.node_mask
     big = jnp.int32(n)
     lab = jnp.where(alive, labels, big)
@@ -130,12 +133,16 @@ def _proximity_merge(g: GraphState, cfg: PipelineConfig, mat: jax.Array,
     layers_with_2 = jnp.sum(is_first & (freq == 2), axis=1)
     has_ge3 = jnp.any(freq >= 3, axis=1)
 
-    # partner of each first-occurrence duplicate (the later same-key slot)
+    # partner of each first-occurrence duplicate (the later same-key slot).
+    # One-hot contraction over the (C,H,H) same-key mask instead of
+    # argmax + minor-axis take_along_axis (the pathological TPU gather —
+    # docs/DESIGN.md "TPU performance model"); for freq==2 rows exactly
+    # one later slot matches, so the masked sum IS the partner's coords.
     later = earlier.T
-    partner_of = jnp.argmax(same & later[None], axis=2)  # (C,H)
+    pair_mask = same & later[None]                       # (C,H,H)
     pair_lead = is_first & (freq == 2)
-    partner = jnp.where(pair_lead, partner_of, 0)
-    p_coords = jnp.take_along_axis(coords, partner[..., None], axis=1)
+    p_coords = jnp.sum(
+        jnp.where(pair_mask[..., None], coords[:, None, :, :], 0.0), axis=2)
     d3 = jnp.sqrt(jnp.sum((coords[..., :3] - p_coords[..., :3]) ** 2, axis=2))
     pairs_ok = jnp.all(jnp.where(pair_lead, d3 <= cfg.node_merge_distance, True),
                        axis=1)
@@ -150,9 +157,9 @@ def _proximity_merge(g: GraphState, cfg: PipelineConfig, mat: jax.Array,
     mid = jnp.concatenate([mid_xyz, mid_r[..., None]], axis=-1)
     do_merge = mergeable[:, None] & pair_lead
     coords = jnp.where(do_merge[..., None], mid, coords)
-    # invalidate the partner slot
-    kill = jnp.zeros((c, h), bool)
-    kill = kill.at[jnp.arange(c)[:, None], partner].max(do_merge)
+    # invalidate the partner slot: a slot j dies when some merged lead i
+    # has it as its later same-key partner (mask any-reduce, no scatter)
+    kill = jnp.any(pair_mask & do_merge[:, :, None], axis=1)
     valid_m = valid & ~kill
     n_pairs = jnp.where(mergeable, layers_with_2, 0)
     return coords, valid_m, can_process, n_pairs
@@ -165,8 +172,13 @@ def _rotate_tracks(coords, valid, n_hits, cfg: PipelineConfig):
     idx_last = jnp.maximum(n_hits - 1, 0)
     idx_2 = jnp.maximum(n_hits - 2, 0)
     idx_3 = jnp.maximum(n_hits - 3, 0)
-    take = lambda i: jnp.take_along_axis(coords, i[:, None, None].repeat(4, 2),
-                                         axis=1)[:, 0]
+    # one-hot select over the H axis instead of minor-axis take_along_axis
+    # (measured 3.05 -> ~0 ms at C=14k: the (C,1,4) gather lowers to the
+    # pathological per-element path, the one-hot reduce fuses)
+    slot = jnp.arange(h)
+    take = lambda i: jnp.sum(
+        jnp.where((slot[None, :] == i[:, None])[..., None], coords, 0.0),
+        axis=1)
     p1 = take(idx_last)
     p2a = take(idx_2)
     p3 = take(idx_3)
@@ -383,8 +395,11 @@ def apply_extraction(g: GraphState, res: ExtractionResult,
                       & g.node_mask)
     mask1 = g.node_mask & ~node_extracted
     # fragment classification at the granularity of the original component
-    comp = jnp.where(mask1, g.component, n)
-    left = jax.ops.segment_sum(mask1.astype(jnp.int32), comp, n + 1)
+    # masked-out nodes contribute 0 regardless of bin, so clamp them to
+    # bin 0 and keep `left` at length n (a multiple of 64: the gather
+    # below then takes the blocked fast path)
+    comp = jnp.where(mask1, g.component, 0)
+    left = jax.ops.segment_sum(mask1.astype(jnp.int32), comp, n)
     frag = gtools.gather1d(left, g.component) < cfg.min_track_hits
     new_node_mask = mask1 & ~frag
     # endpoint-alive test on undirected PAIRS: edge 2i+1 is edge 2i's

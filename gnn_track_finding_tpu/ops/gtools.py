@@ -20,8 +20,30 @@ import jax.numpy as jnp
 
 
 def gather1d(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """x[idx] for 1-D x via the width-2 row-packing fast path."""
-    return jnp.stack([x, x], axis=-1)[idx, 0]
+    """x[idx] for 1-D x via the fastest measured lowering.
+
+    When len(x) is a multiple of 64 (every padded node/edge axis is),
+    uses the BLOCKED form: reshape x to (len(x)/64, 64) and look up
+    (idx // 64, idx % 64) with `table_lookup` — the row gather touches
+    64x fewer distinct rows and XLA fuses the one-hot select into the
+    consumer.  Measured on v5e (172k lookups from a 57,344-entry table,
+    tools/profile_cca_ops.py study): 0.33 ms blocked vs 1.53 ms for the
+    width-2 packing vs 1.44 ms for the direct 1-D gather.  Falls back
+    to width-2 row packing otherwise.
+
+    Contract: idx must be in [0, len(x)).  Out-of-range idx returns an
+    ARBITRARY in-range element (floor-div/mod block arithmetic), not the
+    clamped endpoint the plain gather would give — callers already guard
+    with maximum/minimum at every site.
+    """
+    return gather1d_blocked(x, idx)
+
+
+def gather1d_blocked(x: jax.Array, idx: jax.Array, width: int = 64) -> jax.Array:
+    """Blocked row-gather form of gather1d (see gather1d docstring)."""
+    if x.shape[0] % width:
+        return jnp.stack([x, x], axis=-1)[idx, 0]
+    return table_lookup(x.reshape(-1, width), idx // width, idx % width)
 
 
 def onehot_select(rows: jax.Array, col: jax.Array) -> jax.Array:
@@ -36,7 +58,9 @@ def onehot_select(rows: jax.Array, col: jax.Array) -> jax.Array:
     oh = col[..., None] == jnp.arange(w, dtype=col.dtype)
     if rows.dtype == jnp.bool_:
         return jnp.any(rows & oh, axis=-1)
-    return jnp.sum(jnp.where(oh, rows, 0), axis=-1)
+    # pin the accumulator dtype: under x64 jnp.sum promotes int32 -> int64,
+    # which breaks while_loop carry typing at gather1d call sites
+    return jnp.sum(jnp.where(oh, rows, 0), axis=-1, dtype=rows.dtype)
 
 
 def table_lookup(table: jax.Array, row: jax.Array, col: jax.Array) -> jax.Array:

@@ -21,6 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Persistent compile cache DISABLED for the suite: on some machine
+# images jaxlib segfaults deserializing a cache entry mid-suite
+# (deterministically at the ~70th test, reads fine solo — see CLAUDE.md
+# "Machine gotchas").  Set GNN_TPU_TEST_CACHE=1 to opt back in locally.
+if os.environ.get("GNN_TPU_TEST_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
