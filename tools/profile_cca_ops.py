@@ -87,24 +87,31 @@ def main() -> None:
     def dep_f(acc):
         return f_init + (acc >= jnp.int32(2 ** 30)).astype(jnp.int32)
 
-    timeit("edge gather x2 (f[a],f[b])", lambda acc: (
-        gtools.gather1d(dep_f(acc), a).sum()
-        + gtools.gather1d(dep_f(acc), b).sum()))
+    # checksums reduce per-element & 0xFF before summing: label values run
+    # to ~57k, so a raw int32 sum over ~172k elements wraps and the printed
+    # chk becomes platform noise (ADVICE.md round 3); masked sums stay
+    # < 2^26 and reproduce across runs
+    def chksum(arr):
+        return (arr & jnp.int32(0xFF)).sum()
 
-    timeit("edge gather x1", lambda acc: gtools.gather1d(dep_f(acc), a).sum())
+    timeit("edge gather x2 (f[a],f[b])", lambda acc: (
+        chksum(gtools.gather1d(dep_f(acc), a))
+        + chksum(gtools.gather1d(dep_f(acc), b))))
+
+    timeit("edge gather x1", lambda acc: chksum(gtools.gather1d(dep_f(acc), a)))
 
     def scat(acc):
         f = dep_f(acc)
         lo = jnp.where(ok, jnp.minimum(a, b), big)
         hi = jnp.where(ok, jnp.maximum(a, b), 0)
-        return f.at[hi].min(lo).sum()
+        return chksum(f.at[hi].min(lo))
     timeit("edge scatter-min", scat)
 
     def shortcut2(acc):
         f = dep_f(acc)
         f = gtools.gather1d(f, f)
         f = gtools.gather1d(f, f)
-        return f.sum()
+        return chksum(f)
     timeit("node shortcut x2 (j=2)", shortcut2)
 
     timeit("any-reduce", lambda acc: (dep_f(acc) != f_init - 1).any()
@@ -119,7 +126,7 @@ def main() -> None:
         new = f.at[hi].min(lo)
         new = gtools.gather1d(new, new)
         new = gtools.gather1d(new, new)
-        return new.sum() + jnp.any(new != f).astype(jnp.int32)
+        return chksum(new) + jnp.any(new != f).astype(jnp.int32)
     timeit("full fastsv round", full_round)
 
 
