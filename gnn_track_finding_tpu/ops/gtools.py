@@ -31,16 +31,20 @@ def gather1d(x: jax.Array, idx: jax.Array) -> jax.Array:
     width-2 packing vs 1.44 ms for the direct 1-D gather.  Falls back
     to width-2 row packing otherwise.
 
-    Contract: idx must be in [0, len(x)).  Out-of-range idx returns an
-    ARBITRARY in-range element (floor-div/mod block arithmetic), not the
-    clamped endpoint the plain gather would give — callers already guard
-    with maximum/minimum at every site.
+    Contract: out-of-range idx (either sign) CLAMPS to the nearest
+    endpoint, exactly like the plain x[idx] gather — the clamp below
+    costs nothing (measured 0.41 ms clamped vs 0.44 unclamped on the
+    172k-lookup CCA gather; it fuses into the index arithmetic).  Without
+    it the blocked form's floor-div/mod block arithmetic would return an
+    ARBITRARY in-range element for bad idx — a silent wrong-label hazard
+    pinned by tests/test_aux.py::test_gather1d_oob_contract.
     """
     return gather1d_blocked(x, idx)
 
 
 def gather1d_blocked(x: jax.Array, idx: jax.Array, width: int = 64) -> jax.Array:
     """Blocked row-gather form of gather1d (see gather1d docstring)."""
+    idx = jnp.clip(idx, 0, x.shape[0] - 1)
     if x.shape[0] % width:
         return jnp.stack([x, x], axis=-1)[idx, 0]
     return table_lookup(x.reshape(-1, width), idx // width, idx % width)

@@ -190,3 +190,62 @@ def test_cca_fastsv_matches_paired():
             lab = min(comp)
             for nd in comp:
                 assert l_sv[nd] == lab
+
+
+def test_cca_gated_extraction_exact():
+    """connected_components_gated == full FastSV on everything the size
+    gate can see: components <= max_size are exactly labeled with
+    label_ok True; oversized components are excluded either by size or by
+    label_ok.  Adversarial permuted paths need >warm_rounds hooking
+    rounds, exercising the while-loop tail."""
+    import jax
+    from gnn_track_finding_tpu.graph import cca
+
+    rng = np.random.default_rng(7)
+    H = 16
+
+    def make_path_graph(sizes, perm_seed):
+        prng = np.random.default_rng(perm_seed)
+        n = sum(sizes)
+        ids = prng.permutation(n)
+        pairs = []
+        off = 0
+        for s in sizes:
+            seg = ids[off:off + s]
+            pairs += [(int(seg[i]), int(seg[i + 1])) for i in range(s - 1)]
+            off += s
+        xyzr = np.zeros((n, 4))
+        xyzr[:, 0] = np.arange(n)
+        xyzr[:, 3] = 1.0 + np.arange(n)
+        vivl = np.stack([np.full(n, 7), np.arange(n) % 7], axis=1)
+        truth = np.arange(n)
+        cfg = PipelineConfig(node_bucket=max(64, n), edge_bucket=256)
+        g, _ = build_graph_state(xyzr, vivl, truth.astype(np.int64),
+                                 np.array(pairs), cfg)
+        return g
+
+    for trial in range(12):
+        sizes = [int(rng.integers(2, 33)) for _ in range(4)] + [40]
+        g = make_path_graph(sizes, perm_seed=100 + trial)
+        ok = g.edge_mask
+        full = np.asarray(cca.connected_components_fastsv(g, ok))
+        lab, lab_ok, segsz = jax.jit(
+            lambda s, o: cca.connected_components_gated(s, o, max_size=H)
+        )(g, ok)
+        lab, lab_ok, segsz = (np.asarray(lab), np.asarray(lab_ok),
+                              np.asarray(segsz))
+        nm = np.asarray(g.node_mask)
+        comp_of = {}
+        for v in np.flatnonzero(nm):
+            comp_of.setdefault(full[v], []).append(v)
+        for root, members in comp_of.items():
+            if len(members) <= H:
+                # exact: converged to the min id, settled, right size
+                assert all(lab[v] == root for v in members)
+                assert lab_ok[root]
+                assert segsz[root] == len(members)
+            else:
+                # every label fragment is hidden from the size gate
+                for v in members:
+                    L = lab[v]
+                    assert (segsz[L] > H) or (not lab_ok[L])

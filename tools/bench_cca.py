@@ -59,6 +59,8 @@ def main() -> None:
                                             jumps=4)),
             ("fastsv-w1", functools.partial(cca.connected_components_fastsv,
                                             warmup_rounds=1)),
+            ("gated-r5", lambda gg, okk: cca.connected_components_gated(
+                gg, okk, max_size=cfg.max_track_hits)[0]),
             ("tables", cca.connected_components_tables)]:
         # the loop body must DEPEND on the carry: with loop-invariant
         # inputs XLA hoists the whole CCA out of the fori_loop and the
