@@ -101,3 +101,61 @@ def plot_candidates_xy_zr(g, candidates, out_dir: str,
             ax.legend(loc="upper left", title="Stage")
         fig.savefig(os.path.join(out_dir, f"subgraphs_{key}.png"), dpi=300)
         plt.close(fig)
+
+
+def plot_remaining_subgraphs(g, out_dir: str, max_plots: int = 50,
+                             node_labels: bool = False,
+                             title: str = "") -> int:
+    """Per-component xy plots of the remaining (unextracted) network with
+    edges coloured by activation (r&d/remaining/plot_remaining_subgraphs.py:
+    12-41: one random-colour figure per subgraph, deactivated edges in
+    light grey #f2f2f2).  Returns the number of figures written."""
+    import random
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    alive = np.asarray(g.node_mask)
+    comp = np.asarray(g.component)
+    xyzr = np.asarray(g.xyzr)
+    src = np.asarray(g.src)
+    dst = np.asarray(g.dst)
+    act = np.asarray(g.active)
+    emask = np.asarray(g.edge_mask)
+
+    by_comp = {}
+    for n in np.flatnonzero(alive):
+        by_comp.setdefault(int(comp[n]), []).append(int(n))
+    edges_of = {}
+    for e in np.flatnonzero(emask):
+        edges_of.setdefault(int(comp[src[e]]), []).append(e)
+
+    rng = random.Random(0)
+    written = 0
+    for ci, (label, nodes) in enumerate(sorted(by_comp.items())):
+        if written >= max_plots:
+            break
+        fig, ax = plt.subplots(figsize=(10, 8))
+        color = "#" + "".join(rng.choice("0123456789ABCDEF")
+                              for _ in range(6))
+        for e in edges_of.get(label, []):
+            u, v = int(src[e]), int(dst[e])
+            ax.plot([xyzr[u, 0], xyzr[v, 0]], [xyzr[u, 1], xyzr[v, 1]],
+                    color=(color if act[e] else "#f2f2f2"), alpha=0.75,
+                    linewidth=1.0)
+        xs = xyzr[nodes, 0]
+        ys = xyzr[nodes, 1]
+        ax.scatter(xs, ys, s=65, color=color, zorder=3)
+        if node_labels:
+            for n in nodes:
+                ax.annotate(str(n), (xyzr[n, 0], xyzr[n, 1]), fontsize=8)
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        ax.set_title(title or f"remaining subgraph {ci}")
+        fig.savefig(os.path.join(out_dir, f"xy_{ci}_subgraphs_trackml_mod.png"),
+                    dpi=120)
+        plt.close(fig)
+        written += 1
+    return written

@@ -56,9 +56,11 @@ def prefetch(factories: Iterable[Callable], depth: int = 2,
         pending: collections.deque = collections.deque()
         try:
             for f in it:
-                pending.append(pool.submit(_materialize, f))
-                if len(pending) > depth:
+                # drain before submitting so at most `depth` events are
+                # ever in flight (submitting first would hold depth+1)
+                if len(pending) >= depth:
                     yield pending.popleft().result()
+                pending.append(pool.submit(_materialize, f))
             while pending:
                 yield pending.popleft().result()
         finally:

@@ -221,6 +221,7 @@ def build_graph_state(
                           layer_idx[src[np.maximum(in_tab, 0)]], -1)
                  .astype(np.int32), fill=-1)),
         mirror=jnp.asarray(pade(mirror)),
+        mirror_src=jnp.asarray(pade(src[mirror].astype(np.int32))),
     )
     host = HostEvent(
         node_ids=(host_extra or {}).get("node_ids", np.arange(n)),

@@ -178,7 +178,8 @@ def connected_components_fastsv(g, edge_ok: jax.Array,
 
 
 def connected_components_gated(g, edge_ok: jax.Array, max_size: int,
-                               rounds: int = 5, jumps: int = 2):
+                               rounds: int = 5, jumps: int = 2,
+                               axis_name=None):
     """Extraction-exact truncated FastSV: labels + per-label settledness.
 
     Extraction (extract_track_candidates.py:332-346,415) only consumes
@@ -220,6 +221,12 @@ def connected_components_gated(g, edge_ok: jax.Array, max_size: int,
     bool, False at labels with crossing active edges; sizes (N,) int32
     alive-node count per label value (reusable as the candidate-matrix
     segment sizes).
+
+    axis_name: edge-partitioned execution under shard_map — each shard
+    hooks with its LOCAL edge block (pairs stay local: shard sizes are
+    even and reverses are adjacent, parallel/edge_shard.shard_graph),
+    partial hooks combine with one (N,) int32 pmin per round and the
+    crossing marks with one (N,) u8 psum; labels stay replicated.
     """
     from gnn_track_finding_tpu.ops import gtools
 
@@ -231,6 +238,11 @@ def connected_components_gated(g, edge_ok: jax.Array, max_size: int,
     big = jnp.int32(n)
     alive = g.node_mask.astype(jnp.int32)
 
+    def combine_min(f):
+        if axis_name is None:
+            return f
+        return jax.lax.pmin(f, axis_name)
+
     def shortcut(f):
         for _ in range(jumps):
             f = gtools.gather1d_blocked(f, f)
@@ -238,15 +250,16 @@ def connected_components_gated(g, edge_ok: jax.Array, max_size: int,
 
     # specialised first round: f == identity makes the label gathers
     # the identity (same as connected_components_fastsv)
-    f = shortcut(init.at[jnp.where(ok, jnp.maximum(a, b), 0)].min(
-        jnp.where(ok, jnp.minimum(a, b), big)))
+    f = shortcut(combine_min(
+        init.at[jnp.where(ok, jnp.maximum(a, b), 0)].min(
+            jnp.where(ok, jnp.minimum(a, b), big))))
 
     def body(_, f):
         fa = gtools.gather1d_blocked(f, a)
         fb = gtools.gather1d_blocked(f, b)
         lo_e = jnp.where(ok, jnp.minimum(fa, fb), big)
         hi_e = jnp.where(ok, jnp.maximum(fa, fb), 0)
-        return shortcut(f.at[hi_e].min(lo_e))
+        return shortcut(combine_min(f.at[hi_e].min(lo_e)))
 
     f = jax.lax.fori_loop(0, rounds - 1, body, f)
 
@@ -254,6 +267,9 @@ def connected_components_gated(g, edge_ok: jax.Array, max_size: int,
     fb = gtools.gather1d_blocked(f, b)
     crossing = ok & (fa != fb)
     uns = jnp.zeros((n,), bool).at[fa].max(crossing).at[fb].max(crossing)
+    if axis_name is not None:
+        from gnn_track_finding_tpu.ops import collect
+        uns = collect.allor(uns, axis_name)
     sizes = jnp.zeros((n,), jnp.int32).at[f].add(alive)
     labels = jnp.where(g.node_mask, f, init)
     return labels, ~uns, sizes

@@ -134,6 +134,11 @@ class GraphState:
     # ids) carries the tau of neighbour d-1-k.  mirror[e] is that donor
     # edge; bug_compat seeding reads tau quantities through it.
     mirror: jax.Array         # (E,) int32
+    # static tail node id of the mirror edge (src[mirror]): under the edge
+    # partition the donor tau/variance are RECOMPUTED from this (node
+    # coords are replicated) instead of gathered across shards — bitwise
+    # identical because e_xyzr's tail columns are xyzr[src] by construction
+    mirror_src: jax.Array     # (E,) int32
 
     @property
     def num_padded_nodes(self) -> int:
@@ -180,4 +185,5 @@ def blank_state(n_pad: int, e_pad: int, k: int, n_layers: int,
         in_src_x=f(n_pad, k),
         in_src_layer=jnp.full((n_pad, k), -1, jnp.int32),
         mirror=i(e_pad),
+        mirror_src=i(e_pad),
     )

@@ -31,26 +31,37 @@ from gnn_track_finding_tpu.ops import (clustering, extract, extrapolate,
                                        metadata, priors, seeding)
 
 
-def prepare(g: GraphState, cfg: PipelineConfig) -> GraphState:
+def prepare(g: GraphState, cfg: PipelineConfig, axis_name=None
+            ) -> GraphState:
     """Event-conversion tail: seed states, activation, priors, weights,
     degrees (event_conversion.py:92-101)."""
-    g = seeding.seed_track_states(g, cfg)
+    g = seeding.seed_track_states(g, cfg, axis_name=axis_name)
     g = priors.initialize_edge_activation(g)
-    g = priors.compute_prior_probabilities(g, use_updated=False)
-    g = priors.compute_mixture_weights(g, use_updated=False)
-    g = priors.update_degrees(g)
+    g = priors.compute_prior_probabilities(g, use_updated=False,
+                                           axis_name=axis_name)
+    g = priors.compute_mixture_weights(g, use_updated=False,
+                                       axis_name=axis_name)
+    g = priors.update_degrees(g, axis_name=axis_name)
     return g
 
 
 def cluster_stage(g: GraphState, cfg: PipelineConfig,
-                  use_updated: bool, kl_thresholds=None) -> GraphState:
+                  use_updated: bool, kl_thresholds=None,
+                  axis_name=None, routing=None) -> GraphState:
     """Clustering iteration incl. the weight/prior recompute + degree update
     (clustering.py:323-327,372-373).  kl_thresholds: optional per-node KL
-    acceptance thresholds from the calibration LUT (calib/lut.py)."""
-    g = clustering.cluster(g, cfg, use_updated, kl_thresholds)
-    g = priors.update_degrees(g)
-    g = priors.compute_mixture_weights(g, use_updated)
-    g = priors.compute_prior_probabilities(g, use_updated)
+    acceptance thresholds from the calibration LUT (calib/lut.py).
+
+    axis_name/routing: edge-partitioned execution — the clustering core
+    runs node-owner-sharded via the OwnerRouting all_to_all
+    (ops/clustering._cluster_sharded) and the weight/prior/degree
+    segment ops combine across shards."""
+    g = clustering.cluster(g, cfg, use_updated, kl_thresholds,
+                           axis_name=axis_name, routing=routing)
+    g = priors.update_degrees(g, axis_name=axis_name)
+    g = priors.compute_mixture_weights(g, use_updated, axis_name=axis_name)
+    g = priors.compute_prior_probabilities(g, use_updated,
+                                           axis_name=axis_name)
     return g
 
 
@@ -76,43 +87,66 @@ def extrapolation_stage(g: GraphState, cfg: PipelineConfig,
 
 
 def stage_step(g: GraphState, cfg: PipelineConfig, i: int,
-               kl_thresholds=None) -> GraphState:
+               kl_thresholds=None, axis_name=None, routing=None
+               ) -> GraphState:
     """The pre-extraction stage of iteration i (schedule in module doc)."""
     if i == 1:
         return cluster_stage(g, cfg, use_updated=False,
-                             kl_thresholds=kl_thresholds)
+                             kl_thresholds=kl_thresholds,
+                             axis_name=axis_name, routing=routing)
     if i % 2 == 0:
-        return extrapolation_stage(g, cfg)
+        return extrapolation_stage(g, cfg, axis_name=axis_name,
+                                   routing=routing)
     return cluster_stage(g, cfg, use_updated=True,
-                         kl_thresholds=kl_thresholds)
+                         kl_thresholds=kl_thresholds,
+                         axis_name=axis_name, routing=routing)
 
 
-def extract_only(g: GraphState, cfg: PipelineConfig, labels=None
+def extract_only(g: GraphState, cfg: PipelineConfig, labels=None,
+                 axis_name=None
                  ) -> Tuple[GraphState, extract.ExtractionResult]:
     """Extraction + candidate-node removal (no metadata pruning)."""
-    res = extract.extract_candidates(g, cfg, labels)
+    res = extract.extract_candidates(g, cfg, labels, axis_name=axis_name)
     g = extract.apply_extraction(g, res, cfg)
     return g, res
 
 
-def metadata_step(g: GraphState, cfg: PipelineConfig) -> GraphState:
-    return metadata.remove_state_metadata(g, cfg)
+def metadata_step(g: GraphState, cfg: PipelineConfig,
+                  axis_name=None, routing=None) -> GraphState:
+    if axis_name is None:
+        return metadata.remove_state_metadata(g, cfg)
+    # sharded: same semantics through the collective-aware passes
+    # (remove_state_metadata's table-resident fusion is single-device)
+    g = g.replace(has_updated=g.has_updated & g.edge_mask)
+    g = priors.compute_prior_probabilities(g, use_updated=False,
+                                           axis_name=axis_name)
+    g = priors.prior_reweight(g, cfg, axis_name=axis_name, routing=routing)
+    g = priors.update_degrees(g, axis_name=axis_name)
+    return g
 
 
-def extract_step(g: GraphState, cfg: PipelineConfig, i: int, labels=None
+def extract_step(g: GraphState, cfg: PipelineConfig, i: int, labels=None,
+                 axis_name=None, routing=None
                  ) -> Tuple[GraphState, extract.ExtractionResult]:
     """Extraction + removal + (even iterations) metadata pruning."""
-    g, res = extract_only(g, cfg, labels)
+    g, res = extract_only(g, cfg, labels, axis_name=axis_name)
     if i % 2 == 0:
-        g = metadata_step(g, cfg)
+        g = metadata_step(g, cfg, axis_name=axis_name, routing=routing)
     return g, res
 
 
-def iteration(g: GraphState, cfg: PipelineConfig, i: int, kl_thresholds=None
+def iteration(g: GraphState, cfg: PipelineConfig, i: int, kl_thresholds=None,
+              axis_name=None, routing=None
               ) -> Tuple[GraphState, extract.ExtractionResult]:
-    """One full iteration: stage + extraction + metadata pruning."""
-    g = stage_step(g, cfg, i, kl_thresholds)
-    return extract_step(g, cfg, i)
+    """One full iteration: stage + extraction + metadata pruning.
+
+    axis_name/routing: run the WHOLE iteration edge-partitioned — the
+    reference's unit of work (run_gnn_trackml_mod.sh:71-148) — with the
+    designed exchanges in every stage (clustering owner-routing, CCA
+    pmin hooks, prior/reweight owner exchange)."""
+    g = stage_step(g, cfg, i, kl_thresholds, axis_name=axis_name,
+                   routing=routing)
+    return extract_step(g, cfg, i, axis_name=axis_name, routing=routing)
 
 
 def reset_reactivate(g: GraphState, cfg: PipelineConfig) -> GraphState:

@@ -77,15 +77,15 @@ def _compact_member_edges(g: GraphState, member_slot: jax.Array,
     return compact, count
 
 
-def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, nb_xyzr: jax.Array,
+def _pairwise_chi2(node_xyzr: jax.Array, cfg: PipelineConfig, nb_xyzr: jax.Array,
                    valid: jax.Array, joint: jax.Array, jcov: jax.Array) -> jax.Array:
-    """Masked (N, KC, KC) lower-triangle chi2 matrix (clustering.py:11-86).
+    """Masked (rows, KC, KC) lower-triangle chi2 matrix (clustering.py:11-86).
 
-    nb_xyzr: (N, KC, 4) neighbour coordinates as recorded in the state
+    nb_xyzr: (rows, KC, 4) neighbour coordinates as recorded in the state
     dict (seed-time or extrapolation-time snapshot); the node's own coords
-    are always the immutable 'xyzr' attribute (clustering.py:217)."""
-    dtype = g.dtype
-    node_xyzr = g.xyzr                    # (N, 4)
+    are always the immutable 'xyzr' attribute (clustering.py:217).
+    Row-space: rows == N single-device, N/D on an owner shard."""
+    dtype = node_xyzr.dtype
 
     # [a, b] block distance — componentwise (N,K,K) math: building the
     # (N,K,K,2,2) tensor and contracting via einsum wastes the whole VPU
@@ -143,7 +143,8 @@ def _pairwise_chi2(g: GraphState, cfg: PipelineConfig, nb_xyzr: jax.Array,
 
 def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
             kl_thresholds=None, backend: str | None = None,
-            kc: int = KC, pallas_tile: int | None = None) -> GraphState:
+            kc: int = KC, pallas_tile: int | None = None,
+            axis_name=None, routing=None) -> GraphState:
     """One GMR clustering round over the whole graph.
 
     kl_thresholds: optional per-node (N,) KL acceptance thresholds from the
@@ -159,6 +160,18 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     interpreter mode (CPU testing).  None (default) resolves to "pallas"
     on TPU and "xla" elsewhere — measured 7.8 ms vs 83 ms per full-event
     round on v5e.
+
+    axis_name/routing: edge-partitioned execution under shard_map
+    (parallel/edge_shard.py).  Clustering is node-parallel but reads
+    EDGE state through each node's in-edge table, so the designed
+    exchange routes every edge's 29-float packed state row to its
+    head-node's owner shard (the same all_to_all as
+    priors.prior_reweight), the owner runs the GMR core on its N/D
+    interleaved node rows, and only the narrow per-node results
+    (found/merged state/prior: 14 floats) plus the (N, kc) deactivation
+    verdicts are all_gathered back.  Requires the static OwnerRouting —
+    the dense alternative (psum of the (cg, kc, 29) compact table) would
+    move ~35 MB per round where the all_to_all moves each payload once.
     """
     if backend is None:
         # axon-plugin images expose the same TPU chip under platform name
@@ -172,7 +185,13 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     dtype = g.dtype
     member = (g.has_updated if use_updated else g.edge_mask) & g.edge_mask
     member_slot = _member_slots(g, member)
-    tab, count = _compact_member_edges(g, member_slot, kc)
+    if axis_name is not None:
+        from gnn_track_finding_tpu.ops import collect
+        member_slot = collect.allor(member_slot, axis_name)
+        count = jnp.sum(member_slot, axis=1)
+        tab = None
+    else:
+        tab, count = _compact_member_edges(g, member_slot, kc)
 
     # single packed row gather for all per-edge state (one ~4KB tile read
     # per slot instead of seven): [p_sv(3) | p_cov(9) | j_sv(3) | j_cov(9) |
@@ -195,6 +214,14 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
 
     chi2_thr, kl_thr_scalar = cfg.cluster_thresholds(use_updated)
     kl_thr = kl_thr_scalar if kl_thresholds is None else kl_thresholds
+
+    if axis_name is not None:
+        assert routing is not None, (
+            "edge-partitioned clustering needs the OwnerRouting exchange "
+            "(parallel/edge_shard.build_owner_routing)")
+        return _cluster_sharded(g, cfg, packed, member_slot, gate,
+                                chi2_thr, kl_thr, axis_name, routing,
+                                backend, kc, pallas_tile)
 
     if backend in ("pallas", "pallas_interpret"):
         from gnn_track_finding_tpu.ops import pallas_cluster
@@ -257,10 +284,116 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     valid = tab >= 0
     e = jnp.maximum(tab, 0)
     pk = packed[e]                                  # (N, kc, 29)
+    found, pm, pc, mprior, deact_slot = _cluster_core_xla(
+        cfg, chi2_thr, kl_thr, g.xyzr, gate, valid, pk, kc)
+    return _apply_cluster_results(g, cfg, member_slot, found, pm, pc,
+                                  mprior, deact_slot, kc)
+
+
+def _cluster_sharded(g: GraphState, cfg: PipelineConfig, packed: jax.Array,
+                     member_slot: jax.Array, gate: jax.Array,
+                     chi2_thr, kl_thr, axis_name, routing,
+                     backend: str, kc: int = KC,
+                     pallas_tile: int | None = None) -> GraphState:
+    """Edge-partitioned clustering round (see `cluster` docstring).
+
+    Exchange census per round: one (N, K) u8 allor of the member table
+    (done by the caller), one all_to_all of E_loc x 29 f32 payloads, one
+    (N, 14) f32 + one (N, kc) u8 all_gather of results — never an
+    edge-sized f32 all_gather (pinned in tests/test_edge_shard.py)."""
+    from gnn_track_finding_tpu.ops import collect
+
+    n = g.num_padded_nodes
+    d = routing.n_shards
+    rows = n // d
+    dtype = g.dtype
+    k_tab = g.in_edges.shape[1]
+    w = packed.shape[1]
+
+    # 1. route every edge's packed state row to its head's owner shard;
+    #    non-member slots land in the table too but the rank compaction
+    #    below never selects them
+    recv = collect.route_to_owners(packed, routing.owner, routing.pos,
+                                   routing.bucket, axis_name)  # (D, B, W)
+    my = jax.lax.axis_index(axis_name)
+    rr = jax.lax.dynamic_index_in_dim(routing.recv_row, my, 0,
+                                      keepdims=False)          # (D, B)
+    ss = jax.lax.dynamic_index_in_dim(routing.recv_slot, my, 0,
+                                      keepdims=False)
+    slot_tab = jnp.zeros((rows, k_tab, w), dtype).at[
+        jnp.where(rr >= 0, rr, rows), ss].set(recv, mode="drop")
+
+    # 2. owner-side row blocks of the replicated node-space inputs
+    mem_own = collect.owner_block_interleaved(member_slot, axis_name)
+    gate_own = collect.owner_block_interleaved(gate, axis_name)
+    xyzr_own = collect.owner_block_interleaved(g.xyzr, axis_name)
+    kl_own = (kl_thr if jnp.ndim(kl_thr) == 0
+              else collect.owner_block_interleaved(kl_thr, axis_name))
+
+    # 3. compact the K-wide slot table to the kc-wide rank table with a
+    #    one-hot contraction (exact: one term per cell)
+    rank_own = jnp.cumsum(mem_own, axis=1) - 1
+    oh = (mem_own[:, :, None]
+          & (rank_own[:, :, None] == jnp.arange(kc)[None, None, :]))
+    pk = jnp.einsum("rkc,rkw->rcw", oh.astype(dtype), slot_tab)
+    count_own = jnp.sum(mem_own, axis=1)
+    valid_c = jnp.arange(kc)[None, :] < jnp.minimum(count_own, kc)[:, None]
+
+    # 4. the GMR core on the owner's N/D rows
+    if backend in ("pallas", "pallas_interpret"):
+        from gnn_track_finding_tpu.ops import pallas_cluster
+        t = lambda x, r: jnp.moveaxis(x, 0, -1).reshape(r, rows)
+        klthr_c = (jnp.broadcast_to(jnp.asarray(kl_own, dtype), (rows,))
+                   if jnp.ndim(kl_own) == 0 else kl_own)
+        found_i, pm_t, pc_t, mprior_t, deact_t = pallas_cluster.cluster_tile(
+            cfg, float(chi2_thr),
+            t(pk[..., 12:15], 3 * kc), t(pk[..., 15:24], 9 * kc),
+            t(pk[..., 0:3], 3 * kc), t(pk[..., 3:12], 9 * kc),
+            t(pk[..., 24][..., None], kc),
+            t(valid_c[..., None].astype(jnp.int32), kc),
+            t(pk[..., 25:29], 4 * kc), xyzr_own.T,
+            gate_own.astype(jnp.int32)[None, :], klthr_c[None, :],
+            interpret=(backend == "pallas_interpret"), tile=pallas_tile)
+        found_o = found_i[0] > 0
+        pm_o, pc_o = pm_t.T, pc_t.T.reshape(rows, 3, 3)
+        mprior_o = mprior_t[0]
+        deact_o = deact_t.T > 0
+    else:
+        found_o, pm_o, pc_o, mprior_o, deact_o = _cluster_core_xla(
+            cfg, chi2_thr, kl_own, xyzr_own, gate_own, valid_c, pk, kc)
+
+    # 5. all_gather the narrow results; owner-major -> node order is the
+    #    static interleaving permutation (node i <-> owner-major row
+    #    (i % D) * rows + i // D)
+    res_own = jnp.concatenate([
+        found_o[:, None].astype(dtype), pm_o, pc_o.reshape(rows, 9),
+        mprior_o[:, None]], axis=1)                            # (rows, 14)
+    res_full = collect.gather_rows(res_own, axis_name)         # (N, 14)
+    deact_full = collect.gather_rows(
+        deact_o.astype(jnp.uint8), axis_name) > 0              # (N, kc)
+    perm = (jnp.arange(n, dtype=jnp.int32) % d) * rows + (
+        jnp.arange(n, dtype=jnp.int32) // d)
+    res = res_full[perm]
+    deact_slot = deact_full[perm]
+    return _apply_cluster_results(
+        g, cfg, member_slot, res[:, 0] > 0.5, res[:, 1:4],
+        res[:, 4:13].reshape(n, 3, 3), res[:, 13], deact_slot, kc)
+
+
+def _cluster_core_xla(cfg: PipelineConfig, chi2_thr, kl_thr,
+                      node_xyzr: jax.Array, gate: jax.Array,
+                      valid: jax.Array, pk: jax.Array, kc: int = KC):
+    """Row-space GMR core (masked batched ops + 14-step scan).
+
+    pk: (rows, kc, 29) packed per-slot state rows (layout in `cluster`);
+    rows is the full node axis single-device or an owner shard's N/D
+    block under the edge partition (cluster's sharded path).  Returns
+    (found, pm, pc, mprior, deact_slot) in row space."""
+    dtype = node_xyzr.dtype
     p_sv = pk[..., 0:3]
-    p_cov = pk[..., 3:12].reshape(*e.shape, 3, 3)
+    p_cov = pk[..., 3:12].reshape(*pk.shape[:2], 3, 3)
     j_sv = pk[..., 12:15]
-    j_cov = pk[..., 15:24].reshape(*e.shape, 3, 3)
+    j_cov = pk[..., 15:24].reshape(*pk.shape[:2], 3, 3)
     prior = pk[..., 24]
     nb_xyzr = pk[..., 25:29]
 
@@ -269,7 +402,7 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     p_cov = safe(p_cov)
     j_cov = safe(j_cov)
 
-    chi2 = _pairwise_chi2(g, cfg, nb_xyzr, valid, j_sv, j_cov)
+    chi2 = _pairwise_chi2(node_xyzr, cfg, nb_xyzr, valid, j_sv, j_cov)
     # min over nonzero entries (clustering.py:119-120)
     chi2 = jnp.where(chi2 == 0.0, jnp.inf, chi2)
     flat = chi2.reshape(chi2.shape[0], -1)
@@ -324,9 +457,8 @@ def cluster(g: GraphState, cfg: PipelineConfig, use_updated: bool,
     (pm, pc, jm, jc, mprior, remaining, _), _ = jax.lax.scan(
         step, init, None, length=kc - 2)
 
-    deact_slot = remaining & found[:, None]              # (N, kc)
-    return _apply_cluster_results(g, cfg, member_slot, found, pm, pc,
-                                  mprior, deact_slot, kc)
+    deact_slot = remaining & found[:, None]              # (rows, kc)
+    return found, pm, pc, mprior, deact_slot
 
 
 def _apply_cluster_results(g: GraphState, cfg: PipelineConfig,

@@ -331,7 +331,8 @@ def _kf_fit(coords, valid, n_hits, cfg: PipelineConfig):
     return pval_xy, pval_zr
 
 
-def extract_candidates(g: GraphState, cfg: PipelineConfig, labels=None):
+def extract_candidates(g: GraphState, cfg: PipelineConfig, labels=None,
+                       axis_name=None):
     """One extraction round -> ExtractionResult.
 
     labels: optional precomputed CCA labels (min node id per weak component
@@ -341,6 +342,11 @@ def extract_candidates(g: GraphState, cfg: PipelineConfig, labels=None):
     used when labels is None (pure-jit contexts: benchmarks, dry runs,
     sharded batches).  Node/edge removal is applied separately via
     `apply_extraction` so results can be inspected host-side first.
+
+    axis_name: edge-partitioned execution — only the CCA touches edge
+    arrays (per-round (N,) pmin hook combine, graph/cca.py); the
+    candidate matrix, proximity merge and KF fit are node/candidate-space
+    work that every shard computes identically on replicated inputs.
     """
     h = cfg.max_track_hits
     label_ok = sizes = None
@@ -349,7 +355,7 @@ def extract_candidates(g: GraphState, cfg: PipelineConfig, labels=None):
         # oversized background stays fragmented but label_ok-excluded —
         # bit-identical extraction at ~60% of the full-CCA round count
         labels, label_ok, sizes = cca.connected_components_gated(
-            g, g.edge_mask & g.active, max_size=h)
+            g, g.edge_mask & g.active, max_size=h, axis_name=axis_name)
     mat, size, row_of_node = _candidate_matrix(g, labels, h,
                                                cfg.min_track_hits,
                                                label_ok, sizes)

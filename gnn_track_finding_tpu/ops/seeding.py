@@ -91,7 +91,8 @@ def highland_var_ms(a, b, kappa_x, node_zr, nb_zr, cfg: PipelineConfig):
     return jnp.where(endcap, var_ms * jnp.abs(dr / dz), var_ms)
 
 
-def seed_track_states(g: GraphState, cfg: PipelineConfig) -> GraphState:
+def seed_track_states(g: GraphState, cfg: PipelineConfig,
+                      axis_name=None) -> GraphState:
     """Compute per-edge seed states for every directed edge, plus the
     per-node edge-gradient statistics (helper.py:446-447)."""
     dtype = g.dtype
@@ -140,9 +141,17 @@ def seed_track_states(g: GraphState, cfg: PipelineConfig) -> GraphState:
         # so each edge carries the MIRROR neighbour's tau and tau variance
         # (mirror computed at build in the reference's set() order);
         # var_ms stays the edge's own (helper.py:425).
-        donor = jnp.stack([tau, var_tau], axis=1)[g.mirror]
-        tau = donor[:, 0]
-        var_tau = donor[:, 1]
+        # Donor values are RECOMPUTED from the mirror edge's tail
+        # coordinates (static mirror_src ids into the replicated node
+        # coords) rather than gathered from the mirror edge's slot: the
+        # mirror can point at any in-edge of the same head node, so a
+        # value gather would cross shards under the edge partition.
+        # Bitwise identical: e_xyzr tail == xyzr[src] by construction
+        # (build.py), and the donor shares this edge's head coords.
+        msz = g.xyzr[g.mirror_src, 2]
+        msr = g.xyzr[g.mirror_src, 3]
+        tau = (msz - dz_) / (msr - dr_)
+        var_tau = tau_variance((dz_, dr_), (msz, msr), cfg)
         var_tau_eff = var_tau * var_tau + var_ms  # helper.py:421 squares it
     else:
         var_tau_eff = var_tau + var_ms
@@ -154,15 +163,18 @@ def seed_track_states(g: GraphState, cfg: PipelineConfig) -> GraphState:
         cov = joint_cov
 
     # --- per-node gradient statistics over in-edges (helper.py:287-303,446-447)
+    from gnn_track_finding_tpu.ops import collect
     n = g.num_padded_nodes
     w = g.edge_mask.astype(dtype)
     grad_xy = (sy - dy_) / (sx - dx_)
-    cnt = jax.ops.segment_sum(w, g.dst, n)
+    cnt = collect.allsum(jax.ops.segment_sum(w, g.dst, n), axis_name)
     safe = jnp.maximum(cnt, 1.0)
 
     def mean_var(vals):
-        s1 = jax.ops.segment_sum(w * vals, g.dst, n)
-        s2 = jax.ops.segment_sum(w * vals * vals, g.dst, n)
+        s1 = collect.allsum(jax.ops.segment_sum(w * vals, g.dst, n),
+                            axis_name)
+        s2 = collect.allsum(jax.ops.segment_sum(w * vals * vals, g.dst, n),
+                            axis_name)
         mean = s1 / safe
         var = s2 / safe - mean * mean
         return mean, jnp.maximum(var, 0.0)

@@ -66,6 +66,7 @@ EDGE_FIELDS = frozenset({
     "has_updated", "upd_sv", "upd_cov", "upd_joint", "upd_joint_cov",
     "upd_prior", "upd_weight", "upd_likelihood", "upd_xyzr",
     "slot_in", "slot_out", "e_xyzr", "e_src_layer", "mirror",
+    "mirror_src",
 })
 
 
@@ -211,6 +212,61 @@ def extrapolation_stage_sharded(cfg, mesh: Mesh, axis: str = "edge",
 
     if routing is None:
         return jax.jit(lambda g: run(g, None))
+    return jax.jit(lambda g: run(g, routing))
+
+
+def iteration_sharded(cfg, mesh: Mesh, i: int, routing: OwnerRouting,
+                      axis: str = "edge"):
+    """Jitted edge-partitioned FULL iteration (stage + extraction +
+    metadata pruning) — the reference's unit of work
+    (run_gnn_trackml_mod.sh:71-148) under the designed edge partition:
+    clustering via the OwnerRouting all_to_all
+    (ops/clustering._cluster_sharded), extrapolation via the round-3
+    owner exchange, device CCA via per-round (N,) pmin hook combines
+    (graph/cca.connected_components_gated), prior/reweight/metadata via
+    the owner exchange.  The ExtractionResult is replicated (node/
+    candidate-space outputs every shard computes identically)."""
+    from gnn_track_finding_tpu.models import pipeline
+    from gnn_track_finding_tpu.ops.extract import ExtractionResult
+
+    def run(g: GraphState, r: OwnerRouting):
+        specs = graph_pspecs(g, axis)
+        res_specs = ExtractionResult(*([P()] * len(ExtractionResult._fields)))
+        fn = _shard_map(
+            lambda gg, rr: pipeline.iteration(gg, cfg, i, axis_name=axis,
+                                              routing=rr),
+            mesh, in_specs=(specs, routing_pspecs(r, axis)),
+            out_specs=(specs, res_specs))
+        return fn(g, r)
+
+    return jax.jit(lambda g: run(g, routing))
+
+
+def schedule_sharded(cfg, mesh: Mesh, routing: OwnerRouting,
+                     axis: str = "edge"):
+    """The whole multi-iteration schedule edge-partitioned in ONE jit
+    (the sharded analog of pipeline.full_pipeline)."""
+    from gnn_track_finding_tpu.models import pipeline
+    from gnn_track_finding_tpu.ops.extract import ExtractionResult
+    import jax.numpy as jnp
+
+    def run(g: GraphState, r: OwnerRouting):
+        specs = graph_pspecs(g, axis)
+
+        def body(gg, rr):
+            gg = pipeline.prepare(gg, cfg, axis_name=axis)
+            accepted = []
+            for i in range(1, cfg.num_iterations + 1):
+                gg, res = pipeline.iteration(gg, cfg, i, axis_name=axis,
+                                             routing=rr)
+                accepted.append(res.accepted)
+            return gg, jnp.stack(accepted)
+
+        fn = _shard_map(body, mesh,
+                        in_specs=(specs, routing_pspecs(r, axis)),
+                        out_specs=(specs, P()))
+        return fn(g, r)
+
     return jax.jit(lambda g: run(g, routing))
 
 

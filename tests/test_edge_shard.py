@@ -146,3 +146,93 @@ def test_owner_routing_lowering_has_all_to_all():
                 "f64[" in line or "f32[" in line):
             raise AssertionError(
                 f"(N, K) float table still rides all-reduce: {line.strip()}")
+
+
+def _fresh_graph(num_tracks=20, seed=3):
+    ev = toymc.generate_event(num_tracks=num_tracks, seed=seed)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
+                             CFG, dtype=jnp.float64)
+    return pipeline._prepare_jit(g, CFG)
+
+
+def _assert_graphs_match(single, sharded):
+    for f in dataclasses.fields(type(single)):
+        if not f.metadata.get("pytree_node", True):
+            continue
+        a = np.asarray(getattr(single, f.name))
+        b = np.asarray(getattr(sharded, f.name))
+        if a.dtype == bool or np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b, err_msg=f.name)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-300,
+                                       err_msg=f.name)
+
+
+@needs_mesh
+def test_full_iteration_sharded_matches_single_device():
+    """The WHOLE iteration (clustering / extrapolation stage + gated-CCA
+    extraction + metadata pruning) runs edge-partitioned with the
+    designed exchanges and matches the single-device iteration at every
+    step of the 3-iteration schedule — clustering rides the OwnerRouting
+    all_to_all (ops/clustering._cluster_sharded), the device CCA combines
+    hooks with per-round (N,) pmin."""
+    g = _fresh_graph()
+    mesh = edge_shard.edge_mesh(8)
+    routing = edge_shard.build_owner_routing(g, 8)
+    gs = edge_shard.shard_graph(g, mesh)
+
+    for i in (1, 2, 3):
+        single, res_s = pipeline._iteration_jit(g, CFG, i)
+        it = edge_shard.iteration_sharded(CFG, mesh, i, routing)
+        sharded, res_p = it(gs)
+        _assert_graphs_match(single, sharded)
+        np.testing.assert_array_equal(np.asarray(res_s.accepted),
+                                      np.asarray(res_p.accepted))
+        np.testing.assert_array_equal(np.asarray(res_s.cand_nodes),
+                                      np.asarray(res_p.cand_nodes))
+        np.testing.assert_array_equal(np.asarray(res_s.labels),
+                                      np.asarray(res_p.labels))
+        np.testing.assert_allclose(np.asarray(res_s.pval_xy),
+                                   np.asarray(res_p.pval_xy), rtol=1e-12)
+        g, gs = single, sharded
+
+
+@needs_mesh
+def test_full_schedule_sharded_matches_full_pipeline():
+    g0 = toymc.generate_event(num_tracks=20, seed=5)
+    g, _ = build_graph_state(g0.xyzr, g0.vivl, g0.truth, g0.edge_pairs,
+                             CFG, dtype=jnp.float64)
+    single, acc_s, _ = pipeline.full_pipeline(g, CFG)
+
+    mesh = edge_shard.edge_mesh(8)
+    routing = edge_shard.build_owner_routing(g, 8)
+    gs = edge_shard.shard_graph(g, mesh)
+    sharded, acc_p = edge_shard.schedule_sharded(CFG, mesh, routing)(gs)
+    np.testing.assert_array_equal(np.asarray(acc_s), np.asarray(acc_p))
+    _assert_graphs_match(single, sharded)
+
+
+@needs_mesh
+def test_full_iteration_sharded_lowering():
+    """Lowering pins for the sharded full iteration: the clustering
+    exchange lowers to all-to-all; no edge-sized f32/f64 all-gather and
+    no (N, K) float-table all-reduce anywhere in the program."""
+    g = _fresh_graph()
+    mesh = edge_shard.edge_mesh(8)
+    routing = edge_shard.build_owner_routing(g, 8)
+    gs = edge_shard.shard_graph(g, mesh)
+    n = g.num_padded_nodes
+    k = g.in_edges.shape[1]
+    for i in (1, 2):
+        txt = (edge_shard.iteration_sharded(CFG, mesh, i, routing)
+               .lower(gs).compile().as_text())
+        assert "all-to-all" in txt, f"iteration {i}: no all-to-all"
+        for line in txt.splitlines():
+            bad_gather = ("all-gather" in line
+                          and f"{g.num_padded_edges}]" in line
+                          and ("f64[" in line or "f32[" in line))
+            bad_reduce = ("all-reduce" in line and f"[{n},{k}]" in line
+                          and ("f64[" in line or "f32[" in line))
+            if bad_gather or bad_reduce:
+                raise AssertionError(
+                    f"iteration {i}: oversized collective: {line.strip()}")

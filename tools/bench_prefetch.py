@@ -1,0 +1,83 @@
+"""Sustained multi-event throughput: prefetch loader ON vs OFF.
+
+Proves (or refutes) the PP-analog row of SURVEY.md section 2.3: the
+double-buffered host loader (data/prefetch.py) overlaps event i+1's
+ingest + host->device transfer with event i's device compute.  The
+reference ingests serially before any compute starts
+(event_conversion.py:15-123).
+
+Streams the full TrackML event N times through run_pipeline on the real
+chip; sustained events/s for (a) the serial load->run loop and (b)
+prefetch depth=2.  Results recorded in BASELINE.md.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_prefetch.py [--n 10]
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10)
+    ap.add_argument("--volumes", nargs=2, type=int, default=[7, 14])
+    args = ap.parse_args()
+
+    import jax
+    from gnn_track_finding_tpu.utils.platform import ensure_backend
+    ensure_backend()
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/root/repo/.jax_cache/{jax.default_backend()}")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from gnn_track_finding_tpu.config import PipelineConfig
+    from gnn_track_finding_tpu.data import trackml, prefetch
+    from gnn_track_finding_tpu.models import pipeline
+
+    cfg = PipelineConfig(min_volume=args.volumes[0],
+                         max_volume=args.volumes[1])
+
+    # warm every compile (prepare/stages/extract) outside the timing
+    t0 = time.time()
+    g, _ = trackml.load_event(trackml.DEFAULT_EVENT, cfg, dtype=jnp.float32)
+    out = pipeline.run_pipeline(g, cfg)
+    print(f"[prefetch] warmup load+run {time.time() - t0:.1f}s, "
+          f"{len(out.candidates)} candidates, "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+    paths = [trackml.DEFAULT_EVENT] * args.n
+
+    # (a) serial: ingest fully, then compute, per event
+    t0 = time.time()
+    total = 0
+    for p in paths:
+        g, _ = trackml.load_event(p, cfg, dtype=jnp.float32)
+        total += len(pipeline.run_pipeline(g, cfg).candidates)
+    dt_serial = time.time() - t0
+    print(f"serial    : {args.n} events in {dt_serial:.1f}s = "
+          f"{args.n / dt_serial:.3f} events/s  ({total} candidates)")
+
+    # (b) prefetch depth=2: ingest of event i+1 rides under event i's
+    # device compute
+    t0 = time.time()
+    total = 0
+    for g in prefetch.prefetch_trackml(paths, cfg, dtype=jnp.float32,
+                                       depth=2):
+        total += len(pipeline.run_pipeline(g, cfg).candidates)
+    dt_pre = time.time() - t0
+    print(f"prefetch=2: {args.n} events in {dt_pre:.1f}s = "
+          f"{args.n / dt_pre:.3f} events/s  ({total} candidates)")
+    print(f"speedup x{dt_serial / dt_pre:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,12 @@ def main() -> None:
         out = cca.connected_components_fastsv(s, s.edge_mask & s.active)
         return out.sum().astype(s.dtype)
 
+    def p_cca_gated(s, lab, chk):
+        s = perturb_state(s, chk)
+        labs, lab_ok, sizes = cca.connected_components_gated(
+            s, s.edge_mask & s.active, max_size=h)
+        return (labs.sum() + lab_ok.sum() + sizes.sum()).astype(s.dtype)
+
     def p_matrix(s, lab, chk):
         lab = lab + (chk > 1e30)
         mat, size, row_of_node = extract._candidate_matrix(
@@ -136,6 +142,7 @@ def main() -> None:
         return (pxy.sum() + pzr.sum()).astype(s.dtype)
 
     measure("device CCA (fastsv)", p_cca)
+    measure("device CCA (gated, production)", p_cca_gated)
     measure("lexsort only", p_sort)
     measure("candidate matrix (lexsort)", p_matrix)
     measure("  + proximity merge", p_merge)
