@@ -351,11 +351,14 @@ def extract_candidates(g: GraphState, cfg: PipelineConfig, labels=None,
     h = cfg.max_track_hits
     label_ok = sizes = None
     if labels is None:
-        # gated truncated FastSV: exact for all size<=h components, the
-        # oversized background stays fragmented but label_ok-excluded —
-        # bit-identical extraction at ~60% of the full-CCA round count
-        labels, label_ok, sizes = cca.connected_components_gated(
-            g, g.edge_mask & g.active, max_size=h, axis_name=axis_name)
+        # adaptive FastSV to full convergence.  The fixed-round gated
+        # variant (cca.connected_components_gated) was measured SLOWER on
+        # the fused full schedule (180.4 vs 175.4 ms, /tmp bisect round
+        # 4): FastSV's while_loop exits early on the sparser later
+        # extractions, while the gated form always pays 5 rounds plus a
+        # ~3.6 ms settledness tail (two edge-sized crossing scatters).
+        labels = cca.connected_components_fastsv(
+            g, g.edge_mask & g.active, axis_name=axis_name)
     mat, size, row_of_node = _candidate_matrix(g, labels, h,
                                                cfg.min_track_hits,
                                                label_ok, sizes)
