@@ -161,14 +161,15 @@ def connected_components_fastsv(g, edge_ok: jax.Array,
         f0 = jax.lax.fori_loop(0, warmup_rounds, warm, f0)
 
     def shortcut(f):
+        # in-range by construction (f holds node ids) -> unchecked form
         for _ in range(jumps):
-            f = gtools.gather1d_blocked(f, f)
+            f = gtools.gather1d_unchecked(f, f)
         return f
 
     def body(state):
         f, _ = state
-        fa = gtools.gather1d_blocked(f, a)         # f[u]
-        fb = gtools.gather1d_blocked(f, b)         # f[v]
+        fa = gtools.gather1d_unchecked(a, f)       # f[u]
+        fb = gtools.gather1d_unchecked(b, f)       # f[v]
         lo_e = jnp.where(ok, jnp.minimum(fa, fb), big)
         hi_e = jnp.where(ok, jnp.maximum(fa, fb), 0)
         # masked edges carry `big` (no-op min at row 0).  Hook the parent
@@ -258,8 +259,9 @@ def connected_components_gated(g, edge_ok: jax.Array, max_size: int,
         return jax.lax.pmin(f, axis_name)
 
     def shortcut(f):
+        # in-range by construction (f holds node ids) -> unchecked form
         for _ in range(jumps):
-            f = gtools.gather1d_blocked(f, f)
+            f = gtools.gather1d_unchecked(f, f)
         return f
 
     # specialised first round: f == identity makes the label gathers
@@ -269,16 +271,16 @@ def connected_components_gated(g, edge_ok: jax.Array, max_size: int,
             jnp.where(ok, jnp.minimum(a, b), big))))
 
     def body(_, f):
-        fa = gtools.gather1d_blocked(f, a)
-        fb = gtools.gather1d_blocked(f, b)
+        fa = gtools.gather1d_unchecked(a, f)
+        fb = gtools.gather1d_unchecked(b, f)
         lo_e = jnp.where(ok, jnp.minimum(fa, fb), big)
         hi_e = jnp.where(ok, jnp.maximum(fa, fb), 0)
         return shortcut(combine_min(f.at[hi_e].min(lo_e)))
 
     f = jax.lax.fori_loop(0, rounds - 1, body, f)
 
-    fa = gtools.gather1d_blocked(f, a)
-    fb = gtools.gather1d_blocked(f, b)
+    fa = gtools.gather1d_unchecked(a, f)
+    fb = gtools.gather1d_unchecked(b, f)
     crossing = ok & (fa != fb)
     uns = jnp.zeros((n,), bool).at[fa].max(crossing).at[fb].max(crossing)
     if axis_name is not None:

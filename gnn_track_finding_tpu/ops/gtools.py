@@ -44,7 +44,18 @@ def gather1d(x: jax.Array, idx: jax.Array) -> jax.Array:
 
 def gather1d_blocked(x: jax.Array, idx: jax.Array, width: int = 64) -> jax.Array:
     """Blocked row-gather form of gather1d (see gather1d docstring)."""
-    idx = jnp.clip(idx, 0, x.shape[0] - 1)
+    return gather1d_unchecked(jnp.clip(idx, 0, x.shape[0] - 1), x, width)
+
+
+def gather1d_unchecked(idx: jax.Array, x: jax.Array,
+                       width: int = 64) -> jax.Array:
+    """gather1d WITHOUT the endpoint clamp — out-of-range idx reads an
+    ARBITRARY in-range element.  Only for call sites whose indices are
+    in-range BY CONSTRUCTION and hot enough to care (the FastSV round
+    loop: labels start at identity, hooks only write existing node ids,
+    src/dst pad with 0 — graph/cca.py).  The argument order is flipped
+    vs gather1d on purpose so a mechanical swap-in is impossible without
+    reading this contract."""
     if x.shape[0] % width:
         return jnp.stack([x, x], axis=-1)[idx, 0]
     return table_lookup(x.reshape(-1, width), idx // width, idx % width)

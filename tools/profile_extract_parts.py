@@ -85,6 +85,8 @@ def main() -> None:
         return out.sum().astype(s.dtype)
 
     def p_cca_gated(s, lab, chk):
+        # fixed-round alternative; production is the adaptive fastsv
+        # (see graph/cca.py round-4 notes)
         s = perturb_state(s, chk)
         labs, lab_ok, sizes = cca.connected_components_gated(
             s, s.edge_mask & s.active, max_size=h)
@@ -142,7 +144,7 @@ def main() -> None:
         return (pxy.sum() + pzr.sum()).astype(s.dtype)
 
     measure("device CCA (fastsv)", p_cca)
-    measure("device CCA (gated, production)", p_cca_gated)
+    measure("device CCA (gated, alternative)", p_cca_gated)
     measure("lexsort only", p_sort)
     measure("candidate matrix (lexsort)", p_matrix)
     measure("  + proximity merge", p_merge)
