@@ -191,29 +191,42 @@ def _kernel(cfg: PipelineConfig, chi2_thr: float, K: int,
 
     found = gate & (best < chi2_thr)
 
-    # ---- one-hot select + merge the best pair (clustering.py:228-247) ----
-    def select(k_vec, fields):
-        """Masked accumulation select of per-k lane tuples."""
-        out = None
-        for k in range(K):
-            m = (k_vec == k)
-            vals = tuple(jnp.where(m, f, 0.0) for f in fields[k])
-            out = vals if out is None else tuple(o + v for o, v in zip(out, vals))
-        return out
+    # ---- VECTORISED-OVER-K phase (round 4) -------------------------------
+    # The greedy absorption used to run every per-k computation as its own
+    # (T,)-vector op inside Python loops — ~22k tiny ops per tile whose
+    # fixed issue cost dominated the kernel (14.6 ms measured vs ~1 ms of
+    # raw VPU work).  Stacking the K axis into (K, T) blocks runs each
+    # formula ONCE over all K states; numerics are bit-identical (same
+    # per-(k, lane) arithmetic; one-hot selects sum exactly one nonzero
+    # term; min/first-match reproduces the XLA backend's jnp.min/argmin
+    # semantics including NaN propagation and first-occurrence ties).
+    # f32 rows stack fine; BOOL/i1 stacks hit a Mosaic vreg-cast bug, so
+    # valid/prior come straight off their (K, T) refs
+    stack = lambda rows: jnp.stack(rows, axis=0)                # (K, T)
+    jsv_s = tuple(stack([jsv[k][d] for k in range(K)]) for d in range(3))
+    psv_s = tuple(stack([psv[k][d] for k in range(K)]) for d in range(3))
+    jcov_s = tuple(stack([jcov[k][d] for k in range(K)]) for d in range(9))
+    pcov_s = tuple(stack([pcov[k][d] for k in range(K)]) for d in range(9))
+    prior_s = prior_ref[:, :]                                   # (K, T)
+    valid_s = valid_ref[:, :] > 0
 
-    # guard: unfound lanes get identity covs to keep inverses finite.
-    # Precompute ONCE per k: the fixed covs, their inverses, and the
-    # inverse-times-mean products — every later select and merge then
-    # works on these instead of re-inverting selected covariances
-    # (values are bit-identical: same products, same order as _merge).
+    # guard: unfound lanes get identity covs to keep inverses finite
+    # (same values as the per-k `fix` of the scalar kernel)
     eye = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
-    fix = lambda cov: tuple(jnp.where(found, c, e) for c, e in zip(cov, eye))
-    pcov_safe = [fix(pcov[k]) for k in range(K)]
-    jcov_safe = [fix(jcov[k]) for k in range(K)]
-    inv_pcov = [_inv3(pcov_safe[k]) for k in range(K)]
-    inv_jcov = [_inv3(jcov_safe[k]) for k in range(K)]
-    ivm_p = [_mat3_vec(inv_pcov[k], psv[k]) for k in range(K)]
-    ivm_j = [_mat3_vec(inv_jcov[k], jsv[k]) for k in range(K)]
+    fnd = found[None, :]
+    pcov_safe = tuple(jnp.where(fnd, c, e) for c, e in zip(pcov_s, eye))
+    jcov_safe = tuple(jnp.where(fnd, c, e) for c, e in zip(jcov_s, eye))
+    inv_pcov = _inv3(pcov_safe)            # tuples of (K, T)
+    inv_jcov = _inv3(jcov_safe)
+    ivm_p = _mat3_vec(inv_pcov, psv_s)
+    ivm_j = _mat3_vec(inv_jcov, jsv_s)
+
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K,) + found.shape, 0)
+
+    def sel(onehot, comps):
+        """One-hot contraction (K, T) x (K, T) -> (T,) per component."""
+        return tuple(jnp.sum(jnp.where(onehot, c, 0.0), axis=0)
+                     for c in comps)
 
     def merge_pre(i1, mv1, i2, mv2):
         """_merge given precomputed inverses and inverse-times-means."""
@@ -222,50 +235,52 @@ def _kernel(cfg: PipelineConfig, chi2_thr: float, K: int,
         mm = _mat3_vec(mc, tuple(x + y for x, y in zip(mv1, mv2)))
         return mm, mc
 
-    pm, pc = merge_pre(select(bi, inv_pcov), select(bi, ivm_p),
-                       select(bj, inv_pcov), select(bj, ivm_p))
-    jm, jc = merge_pre(select(bi, inv_jcov), select(bi, ivm_j),
-                       select(bj, inv_jcov), select(bj, ivm_j))
-    pr_i = select(bi, [(p,) for p in prior])[0]
-    pr_j = select(bj, [(p,) for p in prior])[0]
-    mprior = pr_i + pr_j
+    oi = iota_k == bi[None, :]
+    oj = iota_k == bj[None, :]
+    pm, pc = merge_pre(sel(oi, inv_pcov), sel(oi, ivm_p),
+                       sel(oj, inv_pcov), sel(oj, ivm_p))
+    jm, jc = merge_pre(sel(oi, inv_jcov), sel(oi, ivm_j),
+                       sel(oj, inv_jcov), sel(oj, ivm_j))
+    mprior = (sel(oi, (prior_s,))[0] + sel(oj, (prior_s,))[0])
 
-    onehot = lambda k_vec: [(k_vec == k) for k in range(K)]
-    oi, oj = onehot(bi), onehot(bj)
-    remaining = [valid[k] & ~oi[k] & ~oj[k] for k in range(K)]
+    remaining = valid_s & ~oi & ~oj                             # (K, T)
     stopped = ~found
 
     # ---- greedy KL absorption, 14 masked steps (clustering.py:261-287) ----
     for _ in range(K - 2):
         # the running covs' inverses: computed ONCE per step, shared by
-        # all K KL evaluations and the merge (same values _kl/_merge
-        # would recompute 17 times)
+        # all K KL evaluations and the merge
         i2j = _inv3(jc)
         i2p = _inv3(pc)
-        kbest = jnp.zeros_like(bi)
-        kval = jnp.full_like(best, jnp.inf)
-        for k in range(K):
-            kl = _kl_pre(jsv[k], jcov_safe[k], inv_jcov[k], jm, jc, i2j,
-                         cfg.bug_compat)
-            kl = jnp.where(remaining[k], kl, big)
-            upd = kl < kval
-            kval = jnp.where(upd, kl, kval)
-            kbest = jnp.where(upd, k, kbest)
+        # all K KL distances in one set of vector ops ((K, T) vs (T,)
+        # broadcast); masked slots carry +inf like the XLA path
+        kl = _kl_pre(jsv_s, jcov_safe, inv_jcov, jm, jc, i2j,
+                     cfg.bug_compat)
+        kl = jnp.where(remaining, kl, big)
+        kval = jnp.min(kl, axis=0)                              # (T,)
+        # first-occurrence argmin as a one-hot: inclusive prefix count of
+        # min-matches == 1 exactly at the first match (exact XLA argmin
+        # tie semantics).  Mosaic has no cumsum; the prefix rides a tiny
+        # (K, K) @ (K, T) lower-triangular matmul on the MXU (counts are
+        # small integers, exact in f32).
+        is_min = kl == kval[None, :]
+        tri = jnp.tril(jnp.ones((K, K), dt))
+        prefix = jnp.dot(tri, is_min.astype(dt),
+                         preferred_element_type=dt)
+        first = is_min & (prefix == 1.0)                        # (K, T)
         do = (~stopped) & (kval < klthr)
 
-        s_pr = select(kbest, [(p,) for p in prior])[0]
-
-        npm, npc = merge_pre(select(kbest, inv_pcov), select(kbest, ivm_p),
+        s_pr = sel(first, (prior_s,))[0]
+        npm, npc = merge_pre(sel(first, inv_pcov), sel(first, ivm_p),
                              i2p, _mat3_vec(i2p, pm))
-        njm, njc = merge_pre(select(kbest, inv_jcov), select(kbest, ivm_j),
+        njm, njc = merge_pre(sel(first, inv_jcov), sel(first, ivm_j),
                              i2j, _mat3_vec(i2j, jm))
         pm = tuple(jnp.where(do, a, b) for a, b in zip(npm, pm))
         pc = tuple(jnp.where(do, a, b) for a, b in zip(npc, pc))
         jm = tuple(jnp.where(do, a, b) for a, b in zip(njm, jm))
         jc = tuple(jnp.where(do, a, b) for a, b in zip(njc, jc))
         mprior = jnp.where(do, mprior + s_pr, mprior)
-        ok = onehot(kbest)
-        remaining = [remaining[k] & ~(do & ok[k]) for k in range(K)]
+        remaining = remaining & ~(first & do[None, :])
         stopped = stopped | ~do
 
     found_ref[0, :] = found.astype(jnp.int32)
@@ -274,8 +289,7 @@ def _kernel(cfg: PipelineConfig, chi2_thr: float, K: int,
     for d in range(9):
         pc_ref[d, :] = pc[d]
     mprior_ref[0, :] = mprior
-    for k in range(K):
-        deact_ref[k, :] = (remaining[k] & found).astype(jnp.int32)
+    deact_ref[:, :] = (remaining & fnd).astype(jnp.int32)
 
 
 def cluster_tile(cfg: PipelineConfig, chi2_thr: float,
