@@ -69,14 +69,18 @@ def prefetch(factories: Iterable[Callable], depth: int = 2,
 
 
 def prefetch_trackml(paths_list: Sequence, cfg, dtype=None,
-                     depth: int = 2) -> Iterator:
+                     depth: int = 2, cache_dir=None,
+                     with_tracker: bool = True) -> Iterator:
     """Prefetch TrackML events by path (data/trackml.load_event), using
-    the native C++ loader when built (0.9 s vs 180 s pandas ingest —
-    data/native_loader.py); the ingest of event i+1 overlaps event i's
-    device compute."""
+    the native C++ loader when built (~0.2 s parse vs 180 s pandas —
+    data/native_loader.py) and optionally the binary event cache
+    (cache_dir, data/event_cache.py); the ingest of event i+1 overlaps
+    event i's device compute."""
     from gnn_track_finding_tpu.data import trackml
 
     def make(p):
-        return lambda: trackml.load_event(p, cfg, dtype=dtype)[0]
+        return lambda: trackml.load_event(p, cfg, dtype=dtype,
+                                          cache_dir=cache_dir,
+                                          with_tracker=with_tracker)[0]
 
     return prefetch([make(p) for p in paths_list], depth=depth)

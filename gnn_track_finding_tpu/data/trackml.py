@@ -85,16 +85,39 @@ def load_event_arrays(paths: TrackMLPaths, cfg: PipelineConfig):
 
 
 def load_event(paths: TrackMLPaths, cfg: PipelineConfig, dtype=None,
-               use_native: bool = True):
+               use_native: bool = True, cache_dir: str = None,
+               with_tracker: bool = True):
     """-> (GraphState, HostEvent) for one TrackML event.
 
     Uses the C++ loader (native/loader.cc, ~40x faster than the pandas
     path with byte-identical arrays) when its shared library is available.
+
+    cache_dir: binary event cache (data/event_cache.py) — repeat loads of
+    the same files skip the parse AND the NetworkX-order emulation
+    (mirror table, components).  with_tracker=False skips the
+    RefOrderTracker (only the bug-compat extraction-leak replay needs it)
+    — the fast streaming mode.
     """
     import jax.numpy as jnp
     if dtype is None:
         dtype = jnp.float64 if jnp.zeros(()).dtype == jnp.float64 else jnp.float32
     from gnn_track_finding_tpu.data import native_loader
+
+    precomputed = None
+    key = None
+    if cache_dir is not None:
+        from gnn_track_finding_tpu.data import event_cache
+        key = event_cache.cache_key(paths.nodes_csv, paths.edges_csv,
+                                    paths.truth_csv, cfg.min_volume,
+                                    cfg.max_volume)
+        hit = event_cache.load(cache_dir, key)
+        if hit is not None:
+            xyzr, vivl, truth_particle, pairs, extra, precomputed = hit
+            return build_graph_state(xyzr, vivl, truth_particle, pairs, cfg,
+                                     dtype=dtype, host_extra=extra,
+                                     precomputed=precomputed,
+                                     with_tracker=with_tracker)
+
     if use_native and native_loader.available():
         xyzr, vivl, truth_particle, pairs, extra = (
             native_loader.load_event_arrays_native(
@@ -102,8 +125,15 @@ def load_event(paths: TrackMLPaths, cfg: PipelineConfig, dtype=None,
                 cfg.min_volume, cfg.max_volume))
     else:
         xyzr, vivl, truth_particle, pairs, extra = load_event_arrays(paths, cfg)
-    return build_graph_state(xyzr, vivl, truth_particle, pairs, cfg,
-                             dtype=dtype, host_extra=extra)
+    g, host = build_graph_state(xyzr, vivl, truth_particle, pairs, cfg,
+                                dtype=dtype, host_extra=extra)
+    if cache_dir is not None:
+        import numpy as _np
+        from gnn_track_finding_tpu.data import event_cache
+        event_cache.save(cache_dir, key, xyzr, vivl, truth_particle, pairs,
+                         extra, _np.asarray(g.mirror)[:g.n_edges],
+                         _np.asarray(g.component)[:xyzr.shape[0]])
+    return g, host
 
 
 DEFAULT_EVENT = TrackMLPaths(

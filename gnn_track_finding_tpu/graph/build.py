@@ -13,9 +13,11 @@ recompile only across bucket boundaries.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gnn_track_finding_tpu.config import PipelineConfig
@@ -68,6 +70,134 @@ def connected_components_host(n: int, pairs: np.ndarray) -> np.ndarray:
     return np.array([uf.find(i) for i in range(n)], dtype=np.int32)
 
 
+@partial(jax.jit, static_argnums=1)
+def _device_init(h: dict, k: int) -> dict:
+    """All GraphState device arrays from a MINIMAL padded host-array set
+    in ONE jitted program (keyed by bucket shapes + dtype, so it compiles
+    once per bucket).
+
+    Designed for relay-attached TPUs where both eager dispatches and
+    host->device bytes are expensive: one dispatch instead of ~30 eager
+    ops, ~8 MB transferred instead of ~40 for the full event.  On device
+    it reconstructs everything else:
+
+      * src/dst from the undirected pair list (the interleaving is a
+        reshape: 2i = u->v, 2i+1 = v->u);
+      * node/edge masks from the true counts (iota < n);
+      * the fixed-K edge tables from (endpoint, slot) one-writer scatters
+        — the exact inverse of the maps the tables define;
+      * mirror_src = src[mirror]; the derived gather caches (e_xyzr,
+        e_src_layer, out_head_xyzr, in_src_x, in_src_layer);
+      * all zero state buffers.
+
+    Every reconstruction is bit-exact vs the old host padding (masked
+    fills 0 / -1 match; pinned by tests/test_graph_build.py)."""
+    dtype = h["xyzr"].dtype
+    n_pad = h["xyzr"].shape[0]
+    e_pad = 2 * h["pairs"].shape[0]
+    f = lambda *s: jnp.zeros(s, dtype)
+
+    xyzr = h["xyzr"]
+    layer = h["layer_idx"].astype(jnp.int32)
+    pairs = h["pairs"]
+    src = pairs.reshape(-1)                     # [u0, v0, u1, v1, ...]
+    dst = pairs[:, ::-1].reshape(-1)            # [v0, u0, v1, u1, ...]
+    node_mask = jnp.arange(n_pad, dtype=jnp.int32) < h["n"]
+    edge_mask = jnp.arange(e_pad, dtype=jnp.int32) < h["e"]
+    slot_in = h["slot_in"].astype(jnp.int32)
+    slot_out = h["slot_out"].astype(jnp.int32)
+    e_idx = jnp.arange(e_pad, dtype=jnp.int32)
+    # one-writer-per-slot scatters; padded edges routed out of range and
+    # dropped
+    in_tab = jnp.full((n_pad, k), -1, jnp.int32).at[
+        jnp.where(edge_mask, dst, n_pad), slot_in].set(e_idx, mode="drop")
+    out_tab = jnp.full((n_pad, k), -1, jnp.int32).at[
+        jnp.where(edge_mask, src, n_pad), slot_out].set(e_idx, mode="drop")
+    mirror = h["mirror"]
+    mirror_src = jnp.where(edge_mask, src[mirror], 0)
+
+    e_xyzr = jnp.where(edge_mask[:, None],
+                       jnp.concatenate([xyzr[src], xyzr[dst]], axis=1), 0)
+    e_src_layer = jnp.where(edge_mask, layer[src], 0)
+    out_head = jnp.where((out_tab >= 0)[..., None],
+                         xyzr[dst[jnp.maximum(out_tab, 0)]], 0)
+    in_src_rows = xyzr[src[jnp.maximum(in_tab, 0)]]
+    in_src_x = jnp.where(in_tab >= 0, in_src_rows[..., 0], 0)
+    in_src_layer = jnp.where(in_tab >= 0,
+                             layer[src[jnp.maximum(in_tab, 0)]], -1)
+    return dict(
+        node_mask=node_mask,
+        xyzr=xyzr,
+        gnn_xyzr=xyzr,      # immutable jax array: safe to alias at build
+        vivl=h["vivl"], layer_idx=layer,
+        truth=h["truth"], component=h["component"],
+        degree=jnp.zeros(n_pad, jnp.int32),
+        has_merged=jnp.zeros(n_pad, bool),
+        merged_state=f(n_pad, 3), merged_cov=f(n_pad, 3, 3),
+        merged_prior=f(n_pad), grad_stats=f(n_pad, 4),
+        edge_mask=edge_mask, src=src, dst=dst,
+        active=edge_mask,
+        seed_sv=f(e_pad, 3), seed_cov=f(e_pad, 3, 3),
+        seed_joint=f(e_pad, 3), seed_joint_cov=f(e_pad, 3, 3),
+        seed_prior=f(e_pad), seed_weight=f(e_pad),
+        has_updated=jnp.zeros(e_pad, bool),
+        upd_sv=f(e_pad, 3), upd_cov=f(e_pad, 3, 3),
+        upd_joint=f(e_pad, 3), upd_joint_cov=f(e_pad, 3, 3),
+        upd_prior=f(e_pad), upd_weight=f(e_pad), upd_likelihood=f(e_pad),
+        upd_xyzr=f(e_pad, 4),
+        in_edges=in_tab, out_edges=out_tab,
+        slot_in=slot_in, slot_out=slot_out,
+        e_xyzr=e_xyzr, e_src_layer=e_src_layer,
+        out_head_xyzr=out_head, in_src_x=in_src_x,
+        in_src_layer=in_src_layer,
+        mirror=mirror, mirror_src=mirror_src,
+    )
+
+
+def compute_mirror(n: int, src: np.ndarray, dst: np.ndarray,
+                   orig_of: np.ndarray, orders) -> np.ndarray:
+    """Mirror in-edge per directed edge (reference tau-pairing defect,
+    helper.py:349-429): for each node, the k-th neighbour in the
+    reference's set() iteration order borrows tau from neighbour d-1-k.
+    `orders` is RefOrderTracker.neighbour_orders() (original ids).
+
+    Vectorised: every neighbour has an in-edge (edges are bidirectional,
+    helper.py:510-518), so both lookups always resolve; edge lookup is a
+    searchsorted over (dst, src) keys, dense-id lookup over sorted
+    original ids.
+    """
+    e = len(src)
+    mirror = np.arange(e, dtype=np.int32)
+    lens = np.fromiter((len(o) if o else 0 for o in orders), np.int64, n)
+    total = int(lens.sum())
+    if total == 0:
+        return mirror
+    import itertools
+    flat = np.fromiter(itertools.chain.from_iterable(
+        o for o in orders if o), np.int64, total)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    node_of = np.repeat(np.arange(n), lens)
+    idx = np.arange(total)
+    flat_rev = flat[offs[node_of] + offs[node_of + 1] - 1 - idx]
+
+    sorter = np.argsort(orig_of, kind="stable")
+    sorted_ids = orig_of[sorter]
+    a_dense = sorter[np.searchsorted(sorted_ids, flat)]
+    b_dense = sorter[np.searchsorted(sorted_ids, flat_rev)]
+
+    ekeys = dst.astype(np.int64) * n + src
+    esort = np.argsort(ekeys, kind="stable")
+    ekeys_s = ekeys[esort]
+    qa = node_of * np.int64(n) + a_dense
+    qb = node_of * np.int64(n) + b_dense
+    pa = np.searchsorted(ekeys_s, qa)
+    pb = np.searchsorted(ekeys_s, qb)
+    assert np.array_equal(ekeys_s[pa], qa) and np.array_equal(ekeys_s[pb], qb)
+    mirror[esort[pa]] = esort[pb].astype(np.int32)
+    return mirror
+
+
 def build_graph_state(
     xyzr: np.ndarray,               # (n, 4) float
     vivl: np.ndarray,               # (n, 2) int  (volume_id, in_volume_layer_id)
@@ -76,8 +206,18 @@ def build_graph_state(
     cfg: PipelineConfig,
     dtype=jnp.float64,
     host_extra: Optional[dict] = None,
+    precomputed: Optional[dict] = None,
+    with_tracker: bool = True,
 ) -> tuple[GraphState, HostEvent]:
+    """precomputed: optional {'mirror': (E,) int32, 'component': (n,) int32}
+    from a prior build of the same event (data/event_cache.py) — skips the
+    expensive NetworkX-order emulation.  with_tracker=False additionally
+    skips RefOrderTracker construction (possible only with a precomputed
+    mirror); the leak-emulation parity path then isn't available, which is
+    exactly the fast streaming mode (run_pipeline never emulates the leak
+    without a tracker)."""
     n = xyzr.shape[0]
+    precomputed = precomputed or {}
 
     # -- dedupe unordered pairs, keep first occurrence (helper.py:510-518:
     #    re-adding an existing NetworkX edge is a no-op) --
@@ -100,7 +240,14 @@ def build_graph_state(
     # pair-swap weight lookup, ops/extrapolate.py)
 
     # -- components (event_conversion.py:84) --
-    component = connected_components_host(n, pairs)
+    # the C++ loader's union-find labels ride along in host_extra (verified
+    # equal to connected_components_host; CC is invariant to the dedup)
+    if "component" in precomputed:
+        component = np.asarray(precomputed["component"], np.int32)
+    elif host_extra is not None and host_extra.get("components") is not None:
+        component = np.asarray(host_extra["components"], np.int32)
+    else:
+        component = connected_components_host(n, pairs)
 
     # -- dense layer index over in_volume_layer_id (helper.py:53) --
     layers = np.unique(vivl[:, 1])
@@ -140,23 +287,15 @@ def build_graph_state(
     if orig_ids is None:
         orig_ids = np.arange(n, dtype=np.int64)
     orig_of = np.asarray(orig_ids, np.int64)
-    dense_of = {int(o): i for i, o in enumerate(orig_of)}
-    mirror = np.arange(e, dtype=np.int32)
-    tracker = RefOrderTracker(n, src, dst, in_tab, out_tab, orig_of)
-    orders = tracker.neighbour_orders()
-    for node in range(n):
-        ordered = orders[node]
-        d = len(ordered)
-        if d < 2:
-            continue
-        in_edge_of = {int(src[ei]): ei for ei in in_tab[node] if ei >= 0}
-        for k_pos, oid in enumerate(ordered):
-            a_ = dense_of[oid]
-            b_ = dense_of[ordered[d - 1 - k_pos]]
-            ea = in_edge_of.get(a_)
-            eb = in_edge_of.get(b_)
-            if ea is not None and eb is not None:
-                mirror[ea] = eb
+    tracker = None
+    if "mirror" in precomputed:
+        mirror = np.asarray(precomputed["mirror"], np.int32)
+        if with_tracker:
+            tracker = RefOrderTracker(n, src, dst, in_tab, out_tab, orig_of)
+    else:
+        tracker = RefOrderTracker(n, src, dst, in_tab, out_tab, orig_of)
+        mirror = compute_mirror(n, src, dst, orig_of,
+                                tracker.neighbour_orders())
 
     # -- pad to buckets --
     n_pad = _round_up(max(n, 1), cfg.node_bucket)
@@ -172,57 +311,31 @@ def build_graph_state(
         out[:e] = x
         return out
 
-    node_mask = np.zeros(n_pad, bool)
-    node_mask[:n] = True
-    edge_mask = np.zeros(e_pad, bool)
-    edge_mask[:e] = True
-
-    f = lambda *s: jnp.zeros(s, dtype)
-
+    # One jitted program builds every device array from a minimal host
+    # set (see _device_init).  A single dispatch instead of ~30 eager ops
+    # — on a relay-attached TPU each eager op costs a host round trip —
+    # and ~8 MB host->device instead of ~40 for the full event (edge
+    # tables, masks, src/dst, mirror_src and all zero buffers are
+    # reconstructed on device).
+    pairs_pad = np.zeros((e_pad // 2, 2), np.int32)
+    pairs_pad[:m] = pairs.astype(np.int32)
+    assert k <= np.iinfo(np.uint16).max
+    host_arrays = dict(
+        xyzr=padn(xyzr.astype(np.float64)).astype(np.dtype(dtype)),
+        vivl=padn(vivl.astype(np.int32)),
+        layer_idx=padn(layer_idx),
+        truth=padn(truth_idx, fill=-1),
+        component=padn(component),
+        pairs=pairs_pad,
+        slot_in=pade(slot_in.astype(np.uint16)),
+        slot_out=pade(slot_out.astype(np.uint16)),
+        mirror=pade(mirror),
+        n=np.int32(n), e=np.int32(e),
+    )
+    dev = _device_init(host_arrays, k)
     g = GraphState(
         n_nodes=n, n_edges=e, max_degree=k, n_layers=len(layers),
-        node_mask=jnp.asarray(node_mask),
-        xyzr=jnp.asarray(padn(xyzr.astype(np.float64)), dtype),
-        gnn_xyzr=jnp.asarray(padn(xyzr.astype(np.float64)), dtype),
-        vivl=jnp.asarray(padn(vivl.astype(np.int32))),
-        layer_idx=jnp.asarray(padn(layer_idx)),
-        truth=jnp.asarray(padn(truth_idx, fill=-1)),
-        component=jnp.asarray(padn(component)),
-        degree=jnp.zeros(n_pad, jnp.int32),
-        has_merged=jnp.zeros(n_pad, bool),
-        merged_state=f(n_pad, 3), merged_cov=f(n_pad, 3, 3),
-        merged_prior=f(n_pad), grad_stats=f(n_pad, 4),
-        edge_mask=jnp.asarray(edge_mask),
-        src=jnp.asarray(pade(src)), dst=jnp.asarray(pade(dst)),
-        active=jnp.asarray(edge_mask),
-        seed_sv=f(e_pad, 3), seed_cov=f(e_pad, 3, 3),
-        seed_joint=f(e_pad, 3), seed_joint_cov=f(e_pad, 3, 3),
-        seed_prior=f(e_pad), seed_weight=f(e_pad),
-        has_updated=jnp.zeros(e_pad, bool),
-        upd_sv=f(e_pad, 3), upd_cov=f(e_pad, 3, 3),
-        upd_joint=f(e_pad, 3), upd_joint_cov=f(e_pad, 3, 3),
-        upd_prior=f(e_pad), upd_weight=f(e_pad), upd_likelihood=f(e_pad),
-        upd_xyzr=f(e_pad, 4),
-        in_edges=jnp.asarray(padn(in_tab, fill=-1)),
-        out_edges=jnp.asarray(padn(out_tab, fill=-1)),
-        slot_in=jnp.asarray(pade(slot_in)),
-        slot_out=jnp.asarray(pade(slot_out)),
-        e_xyzr=jnp.asarray(
-            pade(np.concatenate([xyzr[src], xyzr[dst]], axis=1)), dtype),
-        e_src_layer=jnp.asarray(pade(layer_idx[src])),
-        out_head_xyzr=jnp.asarray(
-            padn(np.where((out_tab >= 0)[..., None],
-                          xyzr[dst[np.maximum(out_tab, 0)]], 0.0)), dtype),
-        in_src_x=jnp.asarray(
-            padn(np.where(in_tab >= 0,
-                          xyzr[src[np.maximum(in_tab, 0)], 0], 0.0)), dtype),
-        in_src_layer=jnp.asarray(
-            padn(np.where(in_tab >= 0,
-                          layer_idx[src[np.maximum(in_tab, 0)]], -1)
-                 .astype(np.int32), fill=-1)),
-        mirror=jnp.asarray(pade(mirror)),
-        mirror_src=jnp.asarray(pade(src[mirror].astype(np.int32))),
-    )
+        **dev)
     host = HostEvent(
         node_ids=(host_extra or {}).get("node_ids", np.arange(n)),
         particle_ids=uniq_pids,

@@ -130,16 +130,28 @@ class RefOrderTracker:
         self.n = n
         self.orig_of = np.asarray(orig_of, np.int64)
         self.dense_of = {int(o): i for i, o in enumerate(self.orig_of)}
-        self.edge_of: Dict[Tuple[int, int], int] = {
-            (int(src[e]), int(dst[e])): e for e in range(len(src))
-            if e < len(src)}
+        self._src = np.asarray(src)
+        self._dst = np.asarray(dst)
+        self._edge_of: Optional[Dict[Tuple[int, int], int]] = None
         key_of = lambda v: int(self.orig_of[v])
 
         # g2 = nx.DiGraph(G): succ = CSV insertion order, pred regrouped
-        # ascending by source node position (== dense index)
-        succ_csv = [[int(dst[ei]) for ei in row if ei >= 0] for row in out_tab]
-        pred_g2 = [sorted(int(src[ei]) for ei in row if ei >= 0)
-                   for row in in_tab]
+        # ascending by source node position (== dense index).  Both lists
+        # are carved out of flat numpy gathers (row-major flattening of the
+        # slot tables preserves per-node insertion order) — the per-element
+        # Python loops this replaces dominated full-event ingest.
+        out_valid = out_tab >= 0
+        flat_succ = dst[np.maximum(out_tab, 0)][out_valid].tolist()
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(out_valid.sum(1), out=offs[1:])
+        offs_l = offs.tolist()
+        succ_csv = [flat_succ[offs_l[i]:offs_l[i + 1]] for i in range(n)]
+
+        in_valid = in_tab >= 0
+        src_sorted = np.sort(np.where(in_valid, src[np.maximum(in_tab, 0)],
+                                      np.int64(1) << 60), axis=1).tolist()
+        counts_in = in_valid.sum(1).tolist()
+        pred_g2 = [src_sorted[i][:counts_in[i]] for i in range(n)]
         self._succ_csv = succ_csv
 
         # weakly_connected_components(g2) in node order
@@ -162,6 +174,15 @@ class RefOrderTracker:
                       for u in order},
             )
             self.subgraphs.append(sub)
+
+    @property
+    def edge_of(self) -> Dict[Tuple[int, int], int]:
+        """(src, dst) -> directed edge index; built lazily (only the
+        extraction-leak replay needs it)."""
+        if self._edge_of is None:
+            self._edge_of = {(int(s), int(d)): e for e, (s, d)
+                             in enumerate(zip(self._src, self._dst))}
+        return self._edge_of
 
     # ---- seeding orders (helper.py:280 set(nx.all_neighbors)) ----
 

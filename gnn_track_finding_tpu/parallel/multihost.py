@@ -70,7 +70,7 @@ def scaling_report(graphs: Sequence, cfg) -> dict:
     b = len(graphs)
     # single device, sequential
     f1 = jax.jit(lambda g: pipeline.full_pipeline(g, cfg)[1].sum())
-    _ = f1(graphs[0]).item()
+    seq_sum = sum(f1(g).item() for g in graphs)   # also warms the compile
     t0 = time.time()
     for g in graphs:
         _ = f1(g).item()
@@ -84,7 +84,7 @@ def scaling_report(graphs: Sequence, cfg) -> dict:
     fb = jax.jit(lambda gb: jax.vmap(
         lambda g: pipeline.full_pipeline(g, cfg)[1].sum())(gb).sum(),
         in_shardings=(shardings,))
-    _ = fb(batch).item()
+    par_sum = fb(batch).item()
     t0 = time.time()
     _ = fb(batch).item()
     t_par = time.time() - t0
@@ -92,4 +92,5 @@ def scaling_report(graphs: Sequence, cfg) -> dict:
     eff = t_seq / (t_par * m.shape["data"])
     return {"events": b, "devices": m.shape["data"],
             "sequential_s": t_seq, "parallel_s": t_par,
-            "scaling_efficiency": eff}
+            "scaling_efficiency": eff,
+            "sequential_checksum": seq_sum, "parallel_checksum": par_sum}

@@ -47,7 +47,8 @@ def _bound_live_executables():
     (position-dependent, not content-dependent).  Dropping the jit caches
     at module boundaries keeps the live-code footprint bounded; the
     persistent cache makes the cross-module recompiles cheap
-    deserializes.  See CLAUDE.md "Machine gotchas".
+    (deserialization instead of compilation).  See CLAUDE.md
+    "Machine gotchas".
     """
     yield
     jax.clear_caches()

@@ -249,3 +249,36 @@ def test_cca_gated_extraction_exact():
                 for v in members:
                     L = lab[v]
                     assert (segsz[L] > H) or (not lab_ok[L])
+
+
+def test_event_cache_round_trip(tmp_path):
+    """Binary event cache (data/event_cache.py): a cache-hit rebuild must
+    reproduce the cold build's GraphState bit-exactly, including the
+    set()-order mirror table, with the tracker skipped on request."""
+    import jax.tree_util as jtu
+    from gnn_track_finding_tpu.models import toymc
+    from gnn_track_finding_tpu.data import event_cache
+
+    ev = toymc.generate_event(seed=3, num_tracks=12, edge_dphi_window=0.12)
+    cfg = PipelineConfig(node_bucket=64, edge_bucket=256)
+    g1, h1 = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, cfg)
+    extra = {"node_ids": np.arange(ev.xyzr.shape[0], dtype=np.int64),
+             "hit_ids": [np.array([i]) for i in range(ev.xyzr.shape[0])],
+             "hit_particle_ids": [np.array([int(t)]) for t in ev.truth],
+             "module_ids": [np.array([i]) for i in range(ev.xyzr.shape[0])]}
+    key = "test"
+    event_cache.save(str(tmp_path), key, ev.xyzr, ev.vivl, ev.truth,
+                     ev.edge_pairs, extra,
+                     np.asarray(g1.mirror)[:g1.n_edges],
+                     np.asarray(g1.component)[:ev.xyzr.shape[0]])
+    hit = event_cache.load(str(tmp_path), key)
+    assert hit is not None
+    xyzr, vivl, truth, pairs, extra2, pre = hit
+    g2, h2 = build_graph_state(xyzr, vivl, truth, pairs, cfg,
+                               host_extra=extra2, precomputed=pre,
+                               with_tracker=False)
+    assert h2.tracker is None
+    for a, b in zip(jtu.tree_leaves(g1), jtu.tree_leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert [int(x[0]) for x in extra2["hit_particle_ids"]] == \
+        [int(t) for t in ev.truth]

@@ -132,3 +132,26 @@ def test_reset_reactivate():
                                np.asarray(fresh.seed_weight)[em])
     np.testing.assert_array_equal(np.asarray(r.degree),
                                   np.asarray(fresh.degree))
+
+
+def test_run_pipeline_fast_matches_driver():
+    """The fused streaming driver (run_pipeline_fast: whole schedule in
+    ONE jitted program, device FastSV CCA, accepted-compacted readback)
+    must produce exactly the candidates of the stage-by-stage driver
+    (run_pipeline: host union-find CCA, per-stage dispatch)."""
+    ev = toymc.generate_event(seed=7, num_tracks=20, edge_dphi_window=0.12)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    slow = pipeline.run_pipeline(g, CFG)
+    fast = pipeline.run_pipeline_fast(g, CFG)
+    assert len(fast.candidates) == len(slow.candidates) > 0
+    key = lambda c: (c.iteration, tuple(sorted(int(x) for x in c.nodes)))
+    for a, b in zip(sorted(slow.candidates, key=key),
+                    sorted(fast.candidates, key=key)):
+        assert key(a) == key(b)
+        np.testing.assert_allclose(a.pval_xy, b.pval_xy, rtol=1e-12)
+        np.testing.assert_allclose(a.pval_zr, b.pval_zr, rtol=1e-12)
+    # final graph state identical too
+    np.testing.assert_array_equal(np.asarray(slow.graph.node_mask),
+                                  np.asarray(fast.graph.node_mask))
+    np.testing.assert_array_equal(np.asarray(slow.graph.active),
+                                  np.asarray(fast.graph.active))

@@ -1,16 +1,23 @@
-"""Sustained multi-event throughput: prefetch loader ON vs OFF.
+"""Sustained multi-event throughput: the production streaming path.
 
-Proves (or refutes) the PP-analog row of SURVEY.md section 2.3: the
+Proves the PP-analog row of SURVEY.md section 2.3 end-to-end: the
 double-buffered host loader (data/prefetch.py) overlaps event i+1's
-ingest + host->device transfer with event i's device compute.  The
-reference ingests serially before any compute starts
-(event_conversion.py:15-123).
+ingest + host->device transfer with event i's device compute, and the
+fused driver (models/pipeline.run_pipeline_fast) runs the whole
+3-iteration schedule as ONE jitted program per event — no per-stage
+relay round trips, no host CCA pulls.  The reference ingests serially
+before any compute starts (event_conversion.py:15-123).
 
-Streams the full TrackML event N times through run_pipeline on the real
-chip; sustained events/s for (a) the serial load->run loop and (b)
-prefetch depth=2.  Results recorded in BASELINE.md.
+Modes:
+  fast (default) — run_pipeline_fast + binary event cache
+                   (data/event_cache.py): the production stream.
+  driver         — the stage-by-stage run_pipeline with host CCA (the
+                   parity-capable driver; round-4 numbers).
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_prefetch.py [--n 10]
+Each mode reports the serial load->run loop and prefetch depth=2.
+Results recorded in BASELINE.md.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_prefetch.py [--n 10] [--mode fast|driver] [--no-cache]
 """
 
 from __future__ import annotations
@@ -28,6 +35,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10)
     ap.add_argument("--volumes", nargs=2, type=int, default=[7, 14])
+    ap.add_argument("--mode", choices=["fast", "driver"], default="fast")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="fast mode without the binary event cache "
+                         "(every load runs the full ingest)")
     args = ap.parse_args()
 
     import jax
@@ -45,12 +56,19 @@ def main() -> None:
 
     cfg = PipelineConfig(min_volume=args.volumes[0],
                          max_volume=args.volumes[1])
+    fast = args.mode == "fast"
+    cache_dir = None if (args.no_cache or not fast) else \
+        "/root/repo/.event_cache"
+    run = pipeline.run_pipeline_fast if fast else pipeline.run_pipeline
 
-    # warm every compile (prepare/stages/extract) outside the timing
+    # warm every compile (prepare/stages/extract) outside the timing;
+    # in fast mode this also populates the event cache
     t0 = time.time()
-    g, _ = trackml.load_event(trackml.DEFAULT_EVENT, cfg, dtype=jnp.float32)
-    out = pipeline.run_pipeline(g, cfg)
-    print(f"[prefetch] warmup load+run {time.time() - t0:.1f}s, "
+    g, _ = trackml.load_event(trackml.DEFAULT_EVENT, cfg, dtype=jnp.float32,
+                              cache_dir=cache_dir, with_tracker=not fast)
+    out = run(g, cfg)
+    print(f"[prefetch] mode={args.mode} cache={cache_dir is not None} "
+          f"warmup load+run {time.time() - t0:.1f}s, "
           f"{len(out.candidates)} candidates, "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
@@ -60,8 +78,10 @@ def main() -> None:
     t0 = time.time()
     total = 0
     for p in paths:
-        g, _ = trackml.load_event(p, cfg, dtype=jnp.float32)
-        total += len(pipeline.run_pipeline(g, cfg).candidates)
+        g, _ = trackml.load_event(p, cfg, dtype=jnp.float32,
+                                  cache_dir=cache_dir,
+                                  with_tracker=not fast)
+        total += len(run(g, cfg).candidates)
     dt_serial = time.time() - t0
     print(f"serial    : {args.n} events in {dt_serial:.1f}s = "
           f"{args.n / dt_serial:.3f} events/s  ({total} candidates)")
@@ -71,8 +91,9 @@ def main() -> None:
     t0 = time.time()
     total = 0
     for g in prefetch.prefetch_trackml(paths, cfg, dtype=jnp.float32,
-                                       depth=2):
-        total += len(pipeline.run_pipeline(g, cfg).candidates)
+                                       depth=2, cache_dir=cache_dir,
+                                       with_tracker=not fast):
+        total += len(run(g, cfg).candidates)
     dt_pre = time.time() - t0
     print(f"prefetch=2: {args.n} events in {dt_pre:.1f}s = "
           f"{args.n / dt_pre:.3f} events/s  ({total} candidates)")
