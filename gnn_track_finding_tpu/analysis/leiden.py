@@ -67,11 +67,18 @@ def modularity(n_nodes: int, edges, membership) -> float:
 
 
 def _local_move(adj, deg, m2, membership, rng) -> bool:
-    """Louvain-style queue-based local moving phase (Leiden step 1)."""
+    """Louvain-style queue-based local moving phase (Leiden step 1).
+
+    The candidate set is the current community, every edge-adjacent
+    community, and an EMPTY (fresh singleton) community — the empty
+    target is part of leidenalg's ModularityVertexPartition move set and
+    lets a node leave a community it is only weakly (or not at all)
+    attached to even when no neighbouring community wants it."""
     n = len(adj)
     comm_deg: Dict[int, float] = {}
     for u in range(n):
         comm_deg[membership[u]] = comm_deg.get(membership[u], 0.0) + deg[u]
+    next_comm = max(membership, default=-1) + 1
     order = list(range(n))
     rng.shuffle(order)
     queue = list(order)
@@ -90,10 +97,16 @@ def _local_move(adj, deg, m2, membership, rng) -> bool:
         #   w_to[c]/m - deg_u * sum_deg[c] / (2 m^2)   (u removed from cu)
         best_c, best_gain = cu, w_to.get(cu, 0.0) - deg[u] * comm_deg.get(
             cu, 0.0) / m2
+        if best_gain < -1e-12:
+            # the empty-community candidate: zero in-weight, zero
+            # partner degree => gain exactly 0
+            best_c, best_gain = next_comm, 0.0
         for c, wtc in w_to.items():
             gain = wtc - deg[u] * comm_deg.get(c, 0.0) / m2
             if gain > best_gain + 1e-12:
                 best_c, best_gain = c, gain
+        if best_c == next_comm:
+            next_comm += 1
         membership[u] = best_c
         comm_deg[best_c] = comm_deg.get(best_c, 0.0) + deg[u]
         if best_c != cu:
@@ -106,14 +119,19 @@ def _local_move(adj, deg, m2, membership, rng) -> bool:
 
 
 def _refine(adj, deg, m2, membership, rng) -> List[int]:
-    """Leiden refinement: within each community, greedily merge singleton
+    """Leiden refinement: within each community, merge SINGLETON
     sub-communities along internal edges when the merge improves
-    modularity.  Union-find semantics (roots resolved at use, merges
-    always root -> root) so pointer chains can never cycle.  Guarantees
-    internally connected sub-communities (merges only follow edges)."""
+    modularity (Traag et al. 2019, MergeNodesSubset: only nodes still in
+    a singleton sub-community are candidates to move, so each node
+    merges at most once and the singleton's own degree/edge weights are
+    exactly the sub-community's).  Union-find semantics (roots resolved
+    at use, merges always root -> root) so pointer chains can never
+    cycle.  Guarantees internally connected sub-communities (merges only
+    follow edges)."""
     n = len(adj)
     refined = list(range(n))
     sub_deg = list(deg)
+    sub_size = [1] * n
 
     def find(x: int) -> int:
         root = x
@@ -127,8 +145,9 @@ def _refine(adj, deg, m2, membership, rng) -> List[int]:
     rng.shuffle(order)
     for u in order:
         ru = find(u)
-        if ru != u:
-            continue                      # already merged into another
+        if ru != u or sub_size[u] > 1:
+            continue    # not a singleton sub-community any more (paper:
+            #             only singleton nodes may be merged)
         cu = membership[u]
         w_to: Dict[int, float] = {}
         for v, w in adj[u].items():
@@ -143,6 +162,7 @@ def _refine(adj, deg, m2, membership, rng) -> List[int]:
                 best_s, best_gain = s, gain
         if best_s is not None:
             sub_deg[best_s] += sub_deg[ru]
+            sub_size[best_s] += sub_size[ru]
             refined[ru] = best_s
     return [find(u) for u in range(n)]
 
@@ -179,18 +199,17 @@ def _aggregate(adj, self_w, refined, membership):
     return n_agg, edges, agg_membership, node_of
 
 
-def leiden_communities(n_nodes: int, edges, seed: int = 0,
-                       max_levels: int = 10) -> List[Set[int]]:
-    """Partition a weighted undirected graph into communities.
-
-    edges: iterable of (u, v, weight).  Returns node-id sets, one per
-    community (singletons included).  Deterministic for a given seed.
-    """
-    rng = random.Random(seed)
+def _one_pass(n_nodes: int, orig_edges, rng,
+              init_membership=None, max_levels: int = 10) -> List[Set[int]]:
+    """One full Leiden pass (local move + refine + aggregate through the
+    levels), optionally seeded with an initial partition (the Leiden
+    paper's iteration: feeding the previous partition back lets the
+    local move climb further)."""
     # node -> original node sets through the aggregation levels
     carriers: List[Set[int]] = [{u} for u in range(n_nodes)]
-    membership = list(range(n_nodes))
-    cur_edges = [(u, v, float(w)) for u, v, w in edges]
+    membership = (list(init_membership) if init_membership is not None
+                  else list(range(n_nodes)))
+    cur_edges = orig_edges
     cur_n = n_nodes
 
     final: Dict[int, Set[int]] = {}
@@ -214,4 +233,67 @@ def leiden_communities(n_nodes: int, edges, seed: int = 0,
 
     for i in range(cur_n):
         final.setdefault(membership[i], set()).update(carriers[i])
-    return list(final.values())
+
+    # Hard connectivity guarantee: split any community that is not
+    # internally connected in the ORIGINAL graph into its connected
+    # parts.  Refinement makes sub-communities connected by
+    # construction, but the top-level membership groups of super-nodes
+    # are not forced to be; splitting a disconnected community strictly
+    # increases modularity (the internal weight is unchanged while
+    # sum_deg^2 decreases), so this is a pure improvement as well as the
+    # property the extraction use case relies on.
+    adj0: List[List[int]] = [[] for _ in range(n_nodes)]
+    for u, v, _w in orig_edges:
+        if u != v:
+            adj0[u].append(v)
+            adj0[v].append(u)
+    out: List[Set[int]] = []
+    for comm in final.values():
+        remaining = set(comm)
+        while remaining:
+            start = next(iter(remaining))
+            part = {start}
+            stack = [start]
+            while stack:
+                x = stack.pop()
+                for y in adj0[x]:
+                    if y in remaining and y not in part:
+                        part.add(y)
+                        stack.append(y)
+            out.append(part)
+            remaining -= part
+    return out
+
+
+def leiden_communities(n_nodes: int, edges, seed: int = 0,
+                       max_levels: int = 10,
+                       n_iterations: int = 3) -> List[Set[int]]:
+    """Partition a weighted undirected graph into communities.
+
+    edges: iterable of (u, v, weight).  Returns node-id sets, one per
+    community (singletons included), every one internally CONNECTED (the
+    Leiden guarantee the track-extraction use relies on).  Deterministic
+    for a given seed.
+
+    n_iterations: Leiden is an iterative algorithm (Traag et al. 2019
+    section "Leiden algorithm", leidenalg's n_iterations) — each pass
+    restarts the local move from the previous partition, which can only
+    keep or improve modularity; iteration stops early once a pass stops
+    improving."""
+    rng = random.Random(seed)
+    orig_edges = [(u, v, float(w)) for u, v, w in edges]
+    best: List[Set[int]] = []
+    best_q = float("-inf")
+    init = None
+    for _ in range(max(n_iterations, 1)):
+        comms = _one_pass(n_nodes, orig_edges, rng, init, max_levels)
+        memb = {}
+        for i, c in enumerate(comms):
+            for u in c:
+                memb[u] = i
+        q = modularity(n_nodes, orig_edges, memb)
+        if q <= best_q + 1e-12:
+            break
+        best, best_q = comms, q
+        init = [memb[u] for u in range(n_nodes)]
+    return best

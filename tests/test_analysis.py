@@ -260,3 +260,76 @@ def test_detect_communities_leiden_extraction():
         assert len(c) >= CFG.min_track_hits
         layers = [(int(vivl[n, 0]), int(vivl[n, 1])) for n in c]
         assert len(layers) == len(set(layers))
+
+
+def test_leiden_adversarial_properties():
+    """Round-5 hardening: on randomized dense mixed-neighbourhood graphs
+    (planted blocks + heavy noise) across seeds, (a) NO community is ever
+    internally disconnected (the Leiden guarantee, now also enforced by a
+    final split), and (b) iterated Leiden's modularity is competitive
+    with NetworkX Louvain: never worse by more than 0.02 on any graph and
+    at least as good in aggregate (per-run strict dominance over a
+    differently-randomized Louvain is not a property of either
+    algorithm)."""
+    import networkx as nx
+    from gnn_track_finding_tpu.analysis import leiden
+
+    rng = np.random.default_rng(17)
+    diffs = []
+    for trial in range(8):
+        n = int(rng.integers(24, 48))
+        # planted blocks
+        blocks = np.array_split(np.arange(n), 3)
+        G = nx.Graph()
+        G.add_nodes_from(range(n))
+        for blk in blocks:
+            for i in blk:
+                for j in blk:
+                    if i < j and rng.random() < 0.7:
+                        G.add_edge(int(i), int(j))
+        # dense mixed noise between blocks
+        for _ in range(2 * n):
+            u, v = rng.integers(0, n, 2)
+            if u != v:
+                G.add_edge(int(u), int(v))
+        edges = [(u, v, 1.0) for u, v in G.edges()]
+        for seed in (0, 1, 2):
+            comms = leiden.leiden_communities(n, edges, seed=seed)
+            assert sorted(u for c in comms for u in c) == list(range(n))
+            for c in comms:
+                if len(c) > 1:
+                    assert nx.is_connected(G.subgraph(c)), (trial, seed, c)
+        memb = {}
+        for i, c in enumerate(leiden.leiden_communities(n, edges,
+                                                        seed=trial)):
+            for u in c:
+                memb[u] = i
+        q_leiden = leiden.modularity(n, edges, memb)
+        louv = nx.community.louvain_communities(G, seed=trial)
+        membL = {}
+        for i, c in enumerate(louv):
+            for u in c:
+                membL[u] = i
+        q_louv = leiden.modularity(n, edges, membL)
+        assert q_leiden >= q_louv - 0.02, (trial, q_leiden, q_louv)
+        diffs.append(q_leiden - q_louv)
+    assert float(np.mean(diffs)) >= -1e-9, diffs
+
+
+def test_leiden_extraction_filter_stability():
+    """The community-extraction filter output (fragment + one-hit-per-
+    layer, community_detection.py:52-86) is stable across Leiden seeds on
+    a pipeline-staged toy event: same candidate node-sets."""
+    ev = toymc.generate_event(seed=5, num_tracks=16)
+    g, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs, CFG)
+    g = pipeline._prepare_jit(g, CFG)
+    g = pipeline._stage_jit(g, CFG, 1, None)
+    base = None
+    for seed in (0, 1, 2):
+        cands = community.detect_communities(g, CFG, seed=seed)
+        got = sorted(tuple(sorted(c)) for c in cands)
+        assert got, "vacuous: no communities survive the filters"
+        if base is None:
+            base = got
+        else:
+            assert got == base, (seed, got, base)
