@@ -131,6 +131,34 @@ def main():
         "vs_baseline": round(REF_FULL_PIPELINE_S / dt_full, 2),
     }))
 
+    # ---- routine on-chip Pallas gate: XLA-vs-Mosaic agreement of the
+    # production cluster kernel on the real backend (the suite's TPU test
+    # is skipped on CPU CI, so this line is the per-round record of
+    # kernel agreement; STAGES.md documents the ~4% f32 near-threshold
+    # decision flips as different valid FMA roundings) ----
+    try:
+        import numpy as np
+        from gnn_track_finding_tpu.ops import clustering
+        gk = prep(g0, cfg)
+        gx = clustering.cluster(gk, cfg, False, backend="xla")
+        gp = clustering.cluster(gk, cfg, False, backend="pallas")
+        fx = np.asarray(gx.has_merged)
+        fp = np.asarray(gp.has_merged)
+        n_alive = max(int(np.asarray(gk.node_mask).sum()), 1)
+        agree = 1.0 - (fx != fp).sum() / n_alive
+        both = fx & fp
+        ms_x = np.asarray(gx.merged_state)[both]
+        ms_p = np.asarray(gp.merged_state)[both]
+        denom = np.maximum(np.abs(ms_x), 1e-6)
+        max_rel = float(np.max(np.abs(ms_x - ms_p) / denom)) if both.any() \
+            else float("nan")
+        log(f"[bench] pallas cluster kernel vs XLA (compiled, "
+            f"{jax.default_backend()}): found-flag agreement "
+            f"{agree * 100:.2f}% ({int((fx != fp).sum())}/{n_alive} flips), "
+            f"max rel merged-state diff where both merge {max_rel:.2e}")
+    except Exception as ex:  # the gate must never sink the bench metrics
+        log(f"[bench] pallas agreement gate failed: {ex!r}")
+
     print(json.dumps({
         "metric": "message_passing_edges_per_s_full_event",
         "value": round(edges_per_s, 1),

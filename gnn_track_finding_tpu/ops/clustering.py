@@ -341,7 +341,13 @@ def _cluster_sharded(g: GraphState, cfg: PipelineConfig, packed: jax.Array,
 
     # 4. the GMR core on the owner's N/D rows
     if backend in ("pallas", "pallas_interpret"):
+        import math
+
         from gnn_track_finding_tpu.ops import pallas_cluster
+        if pallas_tile is None:
+            # rows = N/D need not divide the default 512 lane-tile for
+            # non-power-of-two device counts; the gcd always divides rows
+            pallas_tile = math.gcd(rows, pallas_cluster.TILE)
         t = lambda x, r: jnp.moveaxis(x, 0, -1).reshape(r, rows)
         klthr_c = (jnp.broadcast_to(jnp.asarray(kl_own, dtype), (rows,))
                    if jnp.ndim(kl_own) == 0 else kl_own)

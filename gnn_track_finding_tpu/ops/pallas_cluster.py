@@ -305,7 +305,13 @@ def cluster_tile(cfg: PipelineConfig, chi2_thr: float,
     assert jsv.shape[0] == 3 * k and nbx.shape[0] == 4 * k, (jsv.shape, k)
     dt = jsv.dtype
     kernel = functools.partial(_kernel, cfg, chi2_thr, k)
-    tile = min(TILE, n) if tile is None else tile
+    if tile is None:
+        # n <= TILE: one tile of the whole problem (old behaviour).
+        # n > TILE: the gcd always divides n — covers shard row counts
+        # that are not multiples of the default lane-tile (e.g. N/D for
+        # non-power-of-two device counts in ops/clustering._cluster_sharded)
+        import math
+        tile = n if n <= TILE else math.gcd(n, TILE)
     assert n % tile == 0, (n, tile)
     grid = (n // tile,)
     ispec = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),

@@ -34,6 +34,11 @@ def main() -> None:
                              "feature, wired)")
     parser.add_argument("--json", action="store_true",
                         help="emit one JSON summary line")
+    parser.add_argument("--fast", action="store_true",
+                        help="production streaming mode: fused one-dispatch "
+                             "schedule (run_pipeline_fast) + binary event "
+                             "cache; skips the parity tracker / leak "
+                             "emulation")
     args = parser.parse_args()
 
     import jax
@@ -70,7 +75,10 @@ def main() -> None:
                                     ev.edge_pairs, cfg, dtype=dtype)
     else:
         from gnn_track_finding_tpu.data import trackml
-        g, host = trackml.load_event(trackml.DEFAULT_EVENT, cfg, dtype=dtype)
+        g, host = trackml.load_event(
+            trackml.DEFAULT_EVENT, cfg, dtype=dtype,
+            cache_dir="/root/repo/.event_cache" if args.fast else None,
+            with_tracker=not args.fast)
     t_load = time.time() - t0
     print(f"[load] {g.n_nodes} nodes, {g.n_edges} directed edges, "
           f"K={g.max_degree}, padded ({g.num_padded_nodes}, "
@@ -92,8 +100,11 @@ def main() -> None:
               f"{float(kl_thresholds.max()):.3g}]")
 
     t0 = time.time()
-    out = pipeline.run_pipeline(g, cfg, kl_thresholds=kl_thresholds,
-                                tracker=getattr(host, "tracker", None))
+    if args.fast and kl_thresholds is None:
+        out = pipeline.run_pipeline_fast(g, cfg)
+    else:
+        out = pipeline.run_pipeline(g, cfg, kl_thresholds=kl_thresholds,
+                                    tracker=getattr(host, "tracker", None))
     t_pipe = time.time() - t0
     print(f"[pipeline] {len(out.candidates)} candidates in {t_pipe:.1f}s "
           f"({g.n_edges * cfg.num_iterations / t_pipe:.0f} edges/s/iter avg)")

@@ -16,7 +16,7 @@ import pytest
 from gnn_track_finding_tpu.config import PipelineConfig
 from gnn_track_finding_tpu.graph.build import build_graph_state
 from gnn_track_finding_tpu.models import toymc
-from gnn_track_finding_tpu.ops import clustering
+from gnn_track_finding_tpu.ops import clustering, pallas_cluster
 
 from tests import helpers
 
@@ -99,3 +99,24 @@ def test_pallas_gated_compaction_with_lut_thresholds():
     gp = clustering.cluster(g, CFG, False, kl_thresholds=thr,
                             backend="pallas_interpret", kc=4)
     _assert_equal(gx, gp)
+
+
+def test_cluster_tile_default_tile_divides_odd_row_counts():
+    """Advisor round-4 finding: shard row counts N/D that exceed the
+    default 512 lane-tile but are not multiples of it (non-power-of-two
+    device counts) must still trace — the default tile falls back to
+    gcd(n, TILE).  Trace-only via eval_shape (no kernel execution)."""
+    import jax.numpy as jnp
+
+    k = 4
+    n = 640            # > 512, not a multiple of 512; gcd = 128
+    dt = jnp.float32
+    s = jax.ShapeDtypeStruct
+    out = jax.eval_shape(
+        lambda *a: pallas_cluster.cluster_tile(
+            CFG, 2.0, *a, interpret=True),
+        s((3 * k, n), dt), s((9 * k, n), dt), s((3 * k, n), dt),
+        s((9 * k, n), dt), s((k, n), dt), s((k, n), jnp.int32),
+        s((4 * k, n), dt), s((4, n), dt), s((1, n), jnp.int32),
+        s((1, n), dt))
+    assert out[0].shape == (1, n)

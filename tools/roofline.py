@@ -134,9 +134,13 @@ def main() -> None:
 
     # --- CCA in isolation: full adaptive FastSV + one hooking round ---
     def cca_only(s):
-        labels = cca.connected_components_fastsv(s, s.edge_mask & s.active)
-        # consume labels into a field the next iteration reads so the
-        # fori_loop carry depends on the CCA (anti-hoisting)
+        # the edge mask must DEPEND on the carry (previous labels) or XLA
+        # hoists the whole while_loop out of the timing fori_loop
+        # (CLAUDE.md measurement discipline; `s.replace(component=...)`
+        # alone is not enough because edge_ok doesn't read component)
+        dep = s.component.min() >= jnp.int32(-1)        # always True
+        labels = cca.connected_components_fastsv(
+            s, (s.edge_mask & s.active) & dep)
         return s.replace(component=labels)
     analyze("CCA adaptive FastSV", cca_only, g1,
             checksum=lambda s: s.component.sum().astype(s.dtype))
