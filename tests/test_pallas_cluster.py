@@ -73,12 +73,19 @@ def test_pallas_cluster_matches_xla():
     fx = np.asarray(gx.has_merged)
     fp = np.asarray(gp.has_merged)
     n = max(int(np.asarray(g.node_mask).sum()), 1)
-    assert (fx != fp).sum() / n < 0.1, "backends diverge beyond f32 noise"
+    # measured on chip (round 5, full event): 3.97% flag flips, bit-equal
+    # merged values where both merge — budgets set just above that
+    assert (fx != fp).sum() / n < 0.06, "backends diverge beyond f32 noise"
     both = fx & fp
     assert both.sum() > 0
     np.testing.assert_allclose(np.asarray(gp.merged_state)[both],
                                np.asarray(gx.merged_state)[both],
-                               rtol=1e-3, atol=1e-5)
+                               rtol=1e-5, atol=1e-7)
+    # aggregate physics-level invariant: the two realizations deactivate
+    # nearly the same number of edges
+    ax = int(np.asarray(gx.active).sum())
+    ap = int(np.asarray(gp.active).sum())
+    assert abs(ax - ap) <= max(0.02 * max(g.n_edges, 1), 8), (ax, ap)
 
 
 def test_pallas_gated_compaction_with_lut_thresholds():

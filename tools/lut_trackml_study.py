@@ -12,8 +12,9 @@ was an honest negative: toy emp-var collapses to one feature bin, so
 per-node thresholds never differentiated (BASELINE.md clean-mode
 section).  This study closes the loop on the real event:
 
-  1. extract (kl, emp_var, degree, truth) rows from volume 7
-     (calib/training_data.extract_metadata_trackml);
+  1. extract (kl, emp_var, degree, truth) rows from the full event
+     (calib/training_data.extract_metadata_trackml; volume 7 alone has
+     zero true pairs);
   2. fit the quantile LUT at recall 0.95 on the emp-var feature and
      report whether per-node thresholds actually differentiate (bins
      occupied, threshold spread across nodes);
@@ -24,7 +25,7 @@ section).  This study closes the loop on the real event:
 
 Results + conclusion are committed in docs/DESIGN.md.
 
-Usage: JAX_PLATFORMS=cpu python tools/lut_trackml_study.py [--volumes 7 7]
+Usage: JAX_PLATFORMS=cpu python tools/lut_trackml_study.py [--volumes 7 14]
 """
 
 from __future__ import annotations
@@ -39,7 +40,10 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--volumes", nargs=2, type=int, default=[7, 7])
+    # calibration needs positives: volume 7 alone has ZERO true pairs
+    # (0.23% of its edges connect same-particle hits); the full event
+    # yields 177 true / 1.96M rows (0.009%)
+    ap.add_argument("--volumes", nargs=2, type=int, default=[7, 14])
     args = ap.parse_args()
 
     import jax
@@ -67,14 +71,23 @@ def main() -> None:
     print(f"[lut] volumes {args.volumes}: {g0.n_nodes} nodes / "
           f"{g0.n_edges} edges, prepared in {time.time() - t0:.1f}s")
 
-    # 1. real-event calibration rows
+    # 1. real-event calibration rows (drop NaN emp-var rows: nodes whose
+    # gradient variance is undefined — fewer than 2 in-edges)
     rows = training_data.extract_metadata_trackml(cfg, g=gp)
+    n_raw = len(rows)
+    rows = rows[np.isfinite(rows).all(axis=1)]
     kl, emp_var, deg, truth = rows.T
-    print(f"[lut] {len(rows)} pair rows, true fraction "
-          f"{truth.mean():.3f}; emp_var spread p1/p50/p99 = "
+    print(f"[lut] {n_raw} pair rows ({n_raw - len(rows)} NaN-var dropped), "
+          f"{int(truth.sum())} true ({truth.mean() * 100:.4f}%); "
+          f"emp_var spread p1/p50/p99 = "
           f"{np.percentile(emp_var, 1):.4g} / "
           f"{np.percentile(emp_var, 50):.4g} / "
           f"{np.percentile(emp_var, 99):.4g}")
+    if truth.sum():
+        print(f"[lut] KL separation on real labels: true p50 "
+              f"{np.percentile(kl[truth == 1], 50):.3g} vs false p50 "
+              f"{np.percentile(kl[truth == 0], 50):.3g} "
+              f"(toy separation was ~2,400x — DESIGN.md)")
 
     # 2. quantile LUT at the reference's recall point
     lut = lutmod.fit_lut_quantile(rows, feature="emp_var", recall=0.95)
@@ -91,29 +104,32 @@ def main() -> None:
           f"max {uniq_thr.max():.3g}; fixed scalar = "
           f"{cfg.kl_threshold_seed})")
 
-    # 3. clustering decisions: fixed vs per-node
-    def cluster_once(kl_thresholds):
-        return pipeline._stage_jit(gp, cfg, 1, kl_thresholds)
+    # 3. clustering decisions at volume 7 (cheap compiled shapes) with
+    # thresholds from the full-event calibration: fixed vs per-node
+    cfg7 = PipelineConfig(min_volume=7, max_volume=7)
+    g7, _ = trackml.load_event(trackml.DEFAULT_EVENT, cfg7,
+                               dtype=jnp.float64, with_tracker=False)
+    gp7 = pipeline._prepare_jit(g7, cfg7)
+    thr7 = jnp.asarray(lut.thresholds_for(
+        np.asarray(gp7.grad_stats)[:, 1]), gp7.dtype)
 
-    g_fixed = cluster_once(None)
-    g_lut = cluster_once(jnp.asarray(thr_nodes, gp.dtype))
-    cm_fixed = metrics.edge_decision_confusion(gp, g_fixed)
-    cm_lut = metrics.edge_decision_confusion(gp, g_lut)
+    g_fixed = pipeline._stage_jit(gp7, cfg7, 1, None)
+    g_lut = pipeline._stage_jit(gp7, cfg7, 1, thr7)
+    cm_fixed = metrics.edge_decision_confusion(gp7, g_fixed)
+    cm_lut = metrics.edge_decision_confusion(gp7, g_lut)
     mf = int(np.asarray(g_fixed.has_merged).sum())
     ml = int(np.asarray(g_lut.has_merged).sum())
-    print(f"[lut] fixed : merged {mf}, deactivation precision "
-          f"{cm_fixed.precision():.4f} recall {cm_fixed.recall():.4f} "
+    print(f"[lut] vol-7 fixed : merged {mf}, deactivation precision "
+          f"{cm_fixed.precision:.4f} recall {cm_fixed.recall:.4f} "
           f"(tp {cm_fixed.tp} fp {cm_fixed.fp})")
-    print(f"[lut] LUT   : merged {ml}, deactivation precision "
-          f"{cm_lut.precision():.4f} recall {cm_lut.recall():.4f} "
+    print(f"[lut] vol-7 LUT   : merged {ml}, deactivation precision "
+          f"{cm_lut.precision:.4f} recall {cm_lut.recall:.4f} "
           f"(tp {cm_lut.tp} fp {cm_lut.fp})")
 
-    # 4. full-schedule candidate effect
-    out_fixed = pipeline.run_pipeline(g0, cfg)
-    out_lut = pipeline.run_pipeline(g0, cfg,
-                                    kl_thresholds=jnp.asarray(
-                                        thr_nodes, gp.dtype))
-    print(f"[lut] full schedule candidates: fixed "
+    # 4. full-schedule candidate effect (volume 7)
+    out_fixed = pipeline.run_pipeline(g7, cfg7)
+    out_lut = pipeline.run_pipeline(g7, cfg7, kl_thresholds=thr7)
+    print(f"[lut] vol-7 full schedule candidates: fixed "
           f"{len(out_fixed.candidates)}, LUT {len(out_lut.candidates)}")
 
 
