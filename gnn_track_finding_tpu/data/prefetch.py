@@ -70,7 +70,8 @@ def prefetch(factories: Iterable[Callable], depth: int = 2,
 
 def prefetch_trackml(paths_list: Sequence, cfg, dtype=None,
                      depth: int = 2, cache_dir=None,
-                     with_tracker: bool = True) -> Iterator:
+                     with_tracker: bool = True,
+                     workers: int = 1) -> Iterator:
     """Prefetch TrackML events by path (data/trackml.load_event), using
     the native C++ loader when built (~0.2 s parse vs 180 s pandas —
     data/native_loader.py) and optionally the binary event cache
@@ -83,4 +84,5 @@ def prefetch_trackml(paths_list: Sequence, cfg, dtype=None,
                                           cache_dir=cache_dir,
                                           with_tracker=with_tracker)[0]
 
-    return prefetch([make(p) for p in paths_list], depth=depth)
+    return prefetch([make(p) for p in paths_list], depth=depth,
+                    workers=workers)

@@ -317,12 +317,10 @@ def full_pipeline_results(g: GraphState, cfg: PipelineConfig):
 ACC_PULL_CAP = 2048
 
 
-def run_pipeline_fast(g: GraphState, cfg: PipelineConfig) -> PipelineResult:
-    """Fast streaming driver: full_pipeline_results + host candidate
-    unpack.  Use for throughput; run_pipeline for the parity/driver path
-    (host CCA, extraction-leak emulation)."""
-    g_in = g
-    g, counts, nodes, pvals = full_pipeline_results(g, cfg)
+def _unpack_results(g_in: GraphState, res, cfg: PipelineConfig
+                    ) -> PipelineResult:
+    """Pull + unpack a full_pipeline_results return into candidates."""
+    g, counts, nodes, pvals = res
     nodes, pvals, counts_np = jax.device_get((nodes, pvals, np.asarray(counts)))
     if int(counts_np.max(initial=0)) > nodes.shape[1]:
         # accepted rows exceed the pull cap (never observed; see
@@ -338,6 +336,34 @@ def run_pipeline_fast(g: GraphState, cfg: PipelineConfig) -> PipelineResult:
                                         pval_xy=float(pvals[it][c, 0]),
                                         pval_zr=float(pvals[it][c, 1])))
     return PipelineResult(graph=g, candidates=candidates, per_iteration=[])
+
+
+def run_pipeline_fast(g: GraphState, cfg: PipelineConfig) -> PipelineResult:
+    """Fast streaming driver: full_pipeline_results + host candidate
+    unpack.  Use for throughput; run_pipeline for the parity/driver path
+    (host CCA, extraction-leak emulation)."""
+    return _unpack_results(g, full_pipeline_results(g, cfg), cfg)
+
+
+def stream_pipeline(graphs, cfg: PipelineConfig):
+    """Software-pipelined multi-event streaming: dispatch event i+1's
+    fused schedule (async) BEFORE pulling event i's results, so the
+    host-side readback + candidate unpack of one event hides under the
+    next event's device compute.  With the prefetch loader feeding
+    `graphs` (data/prefetch.py), three things overlap per event: ingest
+    of i+2, device compute of i+1, readback of i.  Measured on the real
+    chip: 2.25 -> 2.86 events/s over the plain fast driver
+    (BASELINE.md round-5 streaming table).
+
+    Yields one PipelineResult per input graph, in order."""
+    pending = None
+    for g in graphs:
+        fut = full_pipeline_results(g, cfg)     # async dispatch
+        if pending is not None:
+            yield _unpack_results(*pending, cfg)
+        pending = (g, fut)
+    if pending is not None:
+        yield _unpack_results(*pending, cfg)
 
 
 @partial(jax.jit, static_argnums=1)

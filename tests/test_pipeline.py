@@ -155,3 +155,20 @@ def test_run_pipeline_fast_matches_driver():
                                   np.asarray(fast.graph.node_mask))
     np.testing.assert_array_equal(np.asarray(slow.graph.active),
                                   np.asarray(fast.graph.active))
+
+
+def test_stream_pipeline_matches_fast_driver():
+    """The software-pipelined streaming driver (stream_pipeline) yields
+    exactly run_pipeline_fast's results for each event, in order."""
+    evs = [toymc.generate_event(seed=s, num_tracks=20,
+                                edge_dphi_window=0.12) for s in (7, 11)]
+    graphs = [build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
+                                CFG)[0] for ev in evs]
+    solo = [pipeline.run_pipeline_fast(g, CFG) for g in graphs]
+    streamed = list(pipeline.stream_pipeline(iter(graphs), CFG))
+    assert len(streamed) == len(solo) == 2
+    key = lambda c: (c.iteration, tuple(sorted(int(x) for x in c.nodes)))
+    for a, b in zip(solo, streamed):
+        assert sorted(map(key, a.candidates)) == \
+            sorted(map(key, b.candidates))
+        assert len(a.candidates) > 0

@@ -87,13 +87,19 @@ def main() -> None:
           f"{args.n / dt_serial:.3f} events/s  ({total} candidates)")
 
     # (b) prefetch depth=2: ingest of event i+1 rides under event i's
-    # device compute
+    # device compute; in fast mode the streaming driver additionally
+    # pipelines dispatch vs readback (models/pipeline.stream_pipeline)
     t0 = time.time()
     total = 0
-    for g in prefetch.prefetch_trackml(paths, cfg, dtype=jnp.float32,
+    loader = prefetch.prefetch_trackml(paths, cfg, dtype=jnp.float32,
                                        depth=2, cache_dir=cache_dir,
-                                       with_tracker=not fast):
-        total += len(run(g, cfg).candidates)
+                                       with_tracker=not fast)
+    if fast:
+        for out in pipeline.stream_pipeline(loader, cfg):
+            total += len(out.candidates)
+    else:
+        for g in loader:
+            total += len(run(g, cfg).candidates)
     dt_pre = time.time() - t0
     print(f"prefetch=2: {args.n} events in {dt_pre:.1f}s = "
           f"{args.n / dt_pre:.3f} events/s  ({total} candidates)")
