@@ -126,8 +126,12 @@ def load_event(paths: TrackMLPaths, cfg: PipelineConfig, dtype=None,
     else:
         xyzr, vivl, truth_particle, pairs, extra = load_event_arrays(paths, cfg)
     g, host = build_graph_state(xyzr, vivl, truth_particle, pairs, cfg,
-                                dtype=dtype, host_extra=extra)
-    if cache_dir is not None:
+                                dtype=dtype, host_extra=extra,
+                                with_tracker=with_tracker)
+    if cache_dir is not None and (cfg.bug_compat or with_tracker):
+        # clean mode without a tracker skips the mirror computation
+        # (identity placeholder) — never cache that, or a later
+        # bug-compat load of the same files would read a wrong mirror
         import numpy as _np
         from gnn_track_finding_tpu.data import event_cache
         event_cache.save(cache_dir, key, xyzr, vivl, truth_particle, pairs,

@@ -292,6 +292,12 @@ def build_graph_state(
         mirror = np.asarray(precomputed["mirror"], np.int32)
         if with_tracker:
             tracker = RefOrderTracker(n, src, dst, in_tab, out_tab, orig_of)
+    elif not cfg.bug_compat and not with_tracker:
+        # clean mode never reads the mirror (ops/seeding.py gates every
+        # consumer on cfg.bug_compat) and without a tracker there is no
+        # leak replay either — skip the whole NetworkX/CPython order
+        # emulation, the dominant cold-ingest cost (~1.9 s full event)
+        mirror = np.arange(e, dtype=np.int32)
     else:
         tracker = RefOrderTracker(n, src, dst, in_tab, out_tab, orig_of)
         mirror = compute_mirror(n, src, dst, orig_of,

@@ -282,3 +282,39 @@ def test_event_cache_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert [int(x[0]) for x in extra2["hit_particle_ids"]] == \
         [int(t) for t in ev.truth]
+
+
+def test_clean_mode_skips_mirror_and_never_caches_identity(tmp_path):
+    """Clean mode without a tracker skips the set()-order mirror (every
+    consumer is bug_compat-gated, ops/seeding.py) — mirror is identity,
+    tracker None — and such a build must NOT write the event cache (a
+    later bug-compat load would read a wrong mirror)."""
+    import dataclasses
+    import os
+    from gnn_track_finding_tpu.models import toymc
+
+    ev = toymc.generate_event(seed=3, num_tracks=12, edge_dphi_window=0.12)
+    clean = dataclasses.replace(PipelineConfig(node_bucket=64,
+                                               edge_bucket=256),
+                                bug_compat=False)
+    g, h = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
+                             clean, with_tracker=False)
+    assert h.tracker is None
+    e = g.n_edges
+    np.testing.assert_array_equal(np.asarray(g.mirror)[:e], np.arange(e))
+    # parity build still computes the real (non-identity) mirror
+    gp, hp = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
+                               PipelineConfig(node_bucket=64,
+                                              edge_bucket=256),
+                               with_tracker=False)
+    assert (np.asarray(gp.mirror)[:e] != np.arange(e)).any()
+    # pipeline results agree between clean builds with and without the
+    # (unused) order emulation
+    from gnn_track_finding_tpu.models import pipeline
+    g2, _ = build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
+                              clean, with_tracker=True)
+    out1 = pipeline.run_pipeline_fast(g, clean)
+    out2 = pipeline.run_pipeline_fast(g2, clean)
+    key = lambda c: (c.iteration, tuple(sorted(int(x) for x in c.nodes)))
+    assert sorted(map(key, out1.candidates)) == \
+        sorted(map(key, out2.candidates))
