@@ -32,8 +32,9 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 _os.environ["JAX_PLATFORMS"] = "cpu"
-_os.environ["XLA_FLAGS"] = (" --xla_force_host_platform_device_count="
-                            + ("4" if "worker" in _sys.argv else "8"))
+_os.environ["XLA_FLAGS"] = (
+    " --xla_force_host_platform_device_count="
+    + ("4" if any(a in ("worker", "dp-worker") for a in _sys.argv) else "8"))
 
 import subprocess
 import sys
@@ -124,19 +125,77 @@ def run_worker(pid: int) -> None:
               "the single-process full_pipeline", flush=True)
 
 
+def run_dp_worker(pid: int) -> None:
+    """Event-batch DP across processes (SURVEY section 5 multi-host
+    model): each process streams ITS OWN slice of the event batch
+    entirely on its LOCAL devices — the cross-process link (the DCN
+    analog) carries nothing but the final metric reduction."""
+    import numpy as np
+    jax = _common_setup()
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from gnn_track_finding_tpu.parallel import multihost
+    multihost.initialize(coordinator_address=COORD, num_processes=2,
+                         process_id=pid)
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gnn_track_finding_tpu.models import pipeline
+
+    n_events = 4
+    lo, hi = multihost.local_event_slice(n_events)
+    print(f"[p{pid}] DP slice: events [{lo}, {hi})", flush=True)
+
+    g, cfg = _load_event()
+    # pin the whole pipeline to this process's first local device: the
+    # per-event compute never crosses the process boundary
+    local = jax.local_devices()[0]
+    g = jax.device_put(g, local)
+    accepted = 0
+    t0 = time.time()
+    for _ in range(lo, hi):
+        out = pipeline.run_pipeline_fast(g, cfg)
+        accepted += len(out.candidates)
+    dt = time.time() - t0
+    print(f"[p{pid}] local stream: {hi - lo} events, {accepted} "
+          f"candidates in {dt:.1f}s", flush=True)
+
+    # metric reduction — the ONLY cross-process communication
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()).reshape(2, n_dev // 2),
+                ("proc", "dev"))
+    part = jax.make_array_from_callback(
+        (2,), NamedSharding(mesh, P("proc")),
+        lambda idx: np.array([accepted], np.int32))
+    total = int(jnp.sum(part))
+    print(f"[p{pid}] global accepted (psum over processes): {total}",
+          flush=True)
+    if pid == 0:
+        assert total == 2 * accepted   # both slices ran the same event
+        print("[p0] DP MULTIPROCESS OK: per-process streams local, "
+              "cross-process link carried only the metric reduction",
+              flush=True)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         run_worker(int(sys.argv[2]))
         return
-    run_single()
+    if len(sys.argv) > 1 and sys.argv[1] == "dp-worker":
+        run_dp_worker(int(sys.argv[2]))
+        return
+    mode = "dp" if "--dp" in sys.argv else "sharded"
+    if mode == "sharded":
+        run_single()
+    kind = "dp-worker" if mode == "dp" else "worker"
     procs = [subprocess.Popen(
-        [sys.executable, __file__, "worker", str(pid)],
+        [sys.executable, __file__, kind, str(pid)],
         stdout=None if pid == 0 else subprocess.DEVNULL,
         stderr=subprocess.STDOUT if pid == 0 else subprocess.DEVNULL)
         for pid in (1, 0)]
     rcs = [p.wait() for p in procs]
     assert rcs == [0, 0], rcs
-    print("[main] 2-process sharded schedule OK")
+    print(f"[main] 2-process {mode} schedule OK")
 
 
 if __name__ == "__main__":
