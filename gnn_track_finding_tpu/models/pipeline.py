@@ -238,7 +238,8 @@ def run_pipeline(g: GraphState, cfg: PipelineConfig,
     (extract_track_candidates.py:113-116) between extraction and the next
     stage; without it (or in clean mode) coordinates stay immutable.
     """
-    g = _prepare_jit(g, cfg)
+    true_counts = (g.n_nodes, g.n_edges)
+    g = _prepare_jit(_normalize_static(g), cfg)   # see _normalize_static
     candidates: List[Candidate] = []
     per_iter = []
     emulate_leak = tracker is not None and cfg.bug_compat
@@ -279,6 +280,7 @@ def run_pipeline(g: GraphState, cfg: PipelineConfig,
                                          src_np)
         if i % 2 == 0:
             g = _metadata_jit(g, cfg)
+    g = g.replace(n_nodes=true_counts[0], n_edges=true_counts[1])
     return PipelineResult(graph=g, candidates=candidates,
                           per_iteration=per_iter)
 
@@ -317,6 +319,87 @@ def full_pipeline_results(g: GraphState, cfg: PipelineConfig):
 ACC_PULL_CAP = 2048
 
 
+@partial(jax.jit, static_argnums=1)
+def full_pipeline_packed(g: GraphState, cfg: PipelineConfig):
+    """full_pipeline_results with the ENTIRE host readback packed into ONE
+    flat uint32 buffer on device: a [cap, track_len, narrow] header, the
+    per-iteration accepted counts, the node lists (uint16 pairs when every
+    node id fits — n_pad <= 0xffff, sentinel 0xffff for padding; int32
+    bitcast otherwise) and the f32 p-values bitcast in.  On a
+    relay-attached chip every fresh device->host fetch pays a ~23 ms
+    round trip plus ~10-50 MB/s, so one ~0.45 MB pull instead of three
+    fetches totalling ~0.84 MB roughly halves the per-event readback leg
+    (BASELINE.md round-5 streaming anatomy).  Returns
+    (final_graph, packed); the graph stays resident on device."""
+    import jax.numpy as jnp
+    g2, counts, nodes, pvals = full_pipeline_results(g, cfg)
+    n_it, cap, track_len = nodes.shape            # static under jit
+    narrow = g.xyzr.shape[0] <= 0xFFFF            # ids <= n_pad-1 < sentinel
+    if narrow:
+        # low 16 bits via bitcast+mask (well-defined for the -1 padding:
+        # 0xffff sentinel; valid ids < n_pad <= 0xffff convert exactly)
+        nd = (jax.lax.bitcast_convert_type(nodes.reshape(-1), jnp.uint32)
+              & 0xFFFF).astype(jnp.uint16)
+        if nd.shape[0] % 2:
+            nd = jnp.concatenate([nd, jnp.full((1,), 0xFFFF, jnp.uint16)])
+        nd32 = jax.lax.bitcast_convert_type(nd.reshape(-1, 2), jnp.uint32)
+    else:
+        nd32 = jax.lax.bitcast_convert_type(
+            nodes.reshape(-1).astype(jnp.int32), jnp.uint32)
+    pv_wide = pvals.dtype == jnp.float64
+    if pv_wide:     # f64 bitcast -> (..., 2) uint32; raw little-endian bytes
+        pv32 = jax.lax.bitcast_convert_type(
+            pvals.reshape(-1), jnp.uint32).reshape(-1)
+    else:
+        pv32 = jax.lax.bitcast_convert_type(
+            pvals.reshape(-1).astype(jnp.float32), jnp.uint32)
+    header = jnp.array([cap, track_len, int(narrow), int(pv_wide)],
+                       jnp.uint32)
+    packed = jnp.concatenate([header, counts.astype(jnp.uint32), nd32, pv32])
+    return g2, packed
+
+
+def _unpack_packed(g_in: GraphState, g_out, packed,
+                   cfg: PipelineConfig) -> PipelineResult:
+    """Pull the single packed buffer and rebuild candidates — the exact
+    inverse of full_pipeline_packed's layout (header / counts / nodes /
+    pvals).  Falls back to the exact-count stage driver if any
+    iteration's accepted count exceeded the pull cap (never observed;
+    see ACC_PULL_CAP)."""
+    n_it = cfg.num_iterations
+    buf = np.asarray(jax.device_get(packed))
+    cap, track_len, narrow, pv_wide = (int(buf[0]), int(buf[1]),
+                                       bool(buf[2]), bool(buf[3]))
+    counts = buf[4:4 + n_it].astype(np.int64)
+    if counts.max(initial=0) > cap:
+        return run_pipeline(g_in, cfg)
+    n_nd = n_it * cap * track_len
+    off = 4 + n_it
+    if narrow:
+        nd32 = buf[off:off + (n_nd + 1) // 2]
+        nodes = nd32.view(np.uint16)[:n_nd].astype(np.int32)
+        sentinel = 0xFFFF
+        off += (n_nd + 1) // 2
+    else:
+        nodes = np.ascontiguousarray(buf[off:off + n_nd]).view(np.int32)
+        sentinel = -1
+        off += n_nd
+    nodes = nodes.reshape(n_it, cap, track_len)
+    pv_dtype = np.float64 if pv_wide else np.float32
+    pvals = np.ascontiguousarray(buf[off:]).view(pv_dtype) \
+        .reshape(n_it, cap, 2)
+    candidates: List[Candidate] = []
+    for it in range(n_it):
+        for c in range(int(counts[it])):
+            nn = nodes[it, c]
+            nn = nn[nn != sentinel]
+            candidates.append(Candidate(nodes=nn, iteration=it + 1,
+                                        pval_xy=float(pvals[it, c, 0]),
+                                        pval_zr=float(pvals[it, c, 1])))
+    return PipelineResult(graph=g_out, candidates=candidates,
+                          per_iteration=[])
+
+
 def _unpack_results(g_in: GraphState, res, cfg: PipelineConfig
                     ) -> PipelineResult:
     """Pull + unpack a full_pipeline_results return into candidates."""
@@ -338,14 +421,31 @@ def _unpack_results(g_in: GraphState, res, cfg: PipelineConfig
     return PipelineResult(graph=g, candidates=candidates, per_iteration=[])
 
 
+def _normalize_static(g: GraphState) -> GraphState:
+    """Zero the n_nodes/n_edges aux fields for jit dispatch.
+
+    They are host-side metadata that NO jitted stage reads (the true
+    counts live in node_mask/edge_mask — graph/state.py), but as
+    hashable aux data they key the jit cache: without this, every
+    distinct true event size would compile its own copy of the whole
+    schedule (~26 s remote compile at full-event shapes) even when the
+    padded bucket shapes are identical.  Normalised here so a production
+    stream of DISTINCT events compiles once per bucket, not per event
+    (pinned by tests/test_pipeline.py::test_distinct_counts_share_compile)."""
+    return g.replace(n_nodes=0, n_edges=0)
+
+
 def run_pipeline_fast(g: GraphState, cfg: PipelineConfig) -> PipelineResult:
-    """Fast streaming driver: full_pipeline_results + host candidate
-    unpack.  Use for throughput; run_pipeline for the parity/driver path
-    (host CCA, extraction-leak emulation)."""
-    return _unpack_results(g, full_pipeline_results(g, cfg), cfg)
+    """Fast streaming driver: full_pipeline_packed (one dispatch, one
+    packed readback buffer) + host candidate unpack.  Use for
+    throughput; run_pipeline for the parity/driver path (host CCA,
+    extraction-leak emulation)."""
+    g_out, packed = full_pipeline_packed(_normalize_static(g), cfg)
+    g_out = g_out.replace(n_nodes=g.n_nodes, n_edges=g.n_edges)
+    return _unpack_packed(g, g_out, packed, cfg)
 
 
-def stream_pipeline(graphs, cfg: PipelineConfig):
+def stream_pipeline(graphs, cfg: PipelineConfig, depth: int = 1):
     """Software-pipelined multi-event streaming: dispatch event i+1's
     fused schedule (async) BEFORE pulling event i's results, so the
     host-side readback + candidate unpack of one event hides under the
@@ -355,15 +455,23 @@ def stream_pipeline(graphs, cfg: PipelineConfig):
     chip: 2.25 -> 2.86 events/s over the plain fast driver
     (BASELINE.md round-5 streaming table).
 
+    `depth` is the number of dispatched-but-unread events kept in
+    flight; >1 queues extra schedules on the device stream so relay
+    round-trip latency in the readback chain hides under more compute
+    (each queued event holds its own GraphState + results on device,
+    ~40 MB/event at full-event f32 — trivial against 16 GB HBM).
+
     Yields one PipelineResult per input graph, in order."""
-    pending = None
+    import collections
+    pending: collections.deque = collections.deque()
     for g in graphs:
-        fut = full_pipeline_results(g, cfg)     # async dispatch
-        if pending is not None:
-            yield _unpack_results(*pending, cfg)
-        pending = (g, fut)
-    if pending is not None:
-        yield _unpack_results(*pending, cfg)
+        g_out, packed = full_pipeline_packed(_normalize_static(g), cfg)
+        g_out = g_out.replace(n_nodes=g.n_nodes, n_edges=g.n_edges)
+        if len(pending) >= depth:                      # async dispatch above
+            yield _unpack_packed(*pending.popleft(), cfg)
+        pending.append((g, g_out, packed))
+    while pending:
+        yield _unpack_packed(*pending.popleft(), cfg)
 
 
 @partial(jax.jit, static_argnums=1)

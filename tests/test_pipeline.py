@@ -172,3 +172,32 @@ def test_stream_pipeline_matches_fast_driver():
         assert sorted(map(key, a.candidates)) == \
             sorted(map(key, b.candidates))
         assert len(a.candidates) > 0
+
+
+def test_distinct_counts_share_compile():
+    """Distinct TRUE event sizes that share the same pad buckets must
+    share ONE compiled schedule: n_nodes/n_edges are host-side aux
+    metadata no jitted stage reads, and the fast drivers normalise them
+    out of the jit cache key (pipeline._normalize_static).  Without
+    this, a production stream of distinct events would recompile the
+    ~26 s full-event schedule once per event."""
+    evs = [toymc.generate_event(seed=s, num_tracks=t, edge_dphi_window=0.12)
+           for s, t in ((3, 12), (5, 14))]
+    graphs = [build_graph_state(ev.xyzr, ev.vivl, ev.truth, ev.edge_pairs,
+                                CFG)[0] for ev in evs]
+    # genuinely different true sizes, same buckets
+    assert (graphs[0].n_nodes != graphs[1].n_nodes
+            or graphs[0].n_edges != graphs[1].n_edges)
+    assert graphs[0].xyzr.shape == graphs[1].xyzr.shape
+    assert graphs[0].src.shape == graphs[1].src.shape
+    assert graphs[0].n_layers == graphs[1].n_layers
+    assert graphs[0].max_degree == graphs[1].max_degree
+    before = pipeline.full_pipeline_packed._cache_size()
+    outs = [pipeline.run_pipeline_fast(g, CFG) for g in graphs]
+    added = pipeline.full_pipeline_packed._cache_size() - before
+    assert added <= 1, f"schedule recompiled per event ({added} new entries)"
+    for out, g in zip(outs, graphs):
+        assert len(out.candidates) > 0
+        # the metadata round-trips through the normalised dispatch
+        assert out.graph.n_nodes == g.n_nodes
+        assert out.graph.n_edges == g.n_edges

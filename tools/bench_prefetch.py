@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--no-cache", action="store_true",
                     help="fast mode without the binary event cache "
                          "(every load runs the full ingest)")
+    ap.add_argument("--stream-depth", type=int, default=1,
+                    help="dispatched-but-unread events kept in flight "
+                         "by stream_pipeline (fast mode)")
+    ap.add_argument("--load-depth", type=int, default=2,
+                    help="prefetch loader depth (events loading ahead)")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="prefetch loader threads")
     args = ap.parse_args()
 
     import jax
@@ -92,10 +99,13 @@ def main() -> None:
     t0 = time.time()
     total = 0
     loader = prefetch.prefetch_trackml(paths, cfg, dtype=jnp.float32,
-                                       depth=2, cache_dir=cache_dir,
-                                       with_tracker=not fast)
+                                       depth=args.load_depth,
+                                       cache_dir=cache_dir,
+                                       with_tracker=not fast,
+                                       workers=args.workers)
     if fast:
-        for out in pipeline.stream_pipeline(loader, cfg):
+        for out in pipeline.stream_pipeline(loader, cfg,
+                                            depth=args.stream_depth):
             total += len(out.candidates)
     else:
         for g in loader:
