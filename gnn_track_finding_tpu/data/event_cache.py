@@ -21,7 +21,30 @@ from typing import Optional
 
 import numpy as np
 
-CACHE_VERSION = 1
+CACHE_VERSION = 2
+
+
+class LazyRagged:
+    """Per-node ragged int lists backed by (flat, offsets) without
+    materialising 55k+ Python slices up front (the old eager _unflatten
+    cost ~58 ms per cached load — pure loop overhead).  Quacks like the
+    list-of-arrays the evaluators index (len / [i] / iteration)."""
+
+    __slots__ = ("flat", "off")
+
+    def __init__(self, flat: np.ndarray, off: np.ndarray):
+        self.flat = flat
+        self.off = off
+
+    def __len__(self) -> int:
+        return len(self.off) - 1
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.flat[self.off[i]:self.off[i + 1]]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
 
 
 def cache_key(nodes_csv: str, edges_csv: str, truth_csv: str,
@@ -36,6 +59,8 @@ def cache_key(nodes_csv: str, edges_csv: str, truth_csv: str,
 
 def _flatten(lists, dtype=np.int64):
     """List of per-node arrays -> (flat, offsets)."""
+    if isinstance(lists, LazyRagged):
+        return np.asarray(lists.flat, dtype), np.asarray(lists.off, np.int64)
     lens = np.fromiter((len(a) if a is not None else 0 for a in lists),
                        np.int64, len(lists))
     off = np.zeros(len(lists) + 1, np.int64)
@@ -51,19 +76,28 @@ def _unflatten(flat, off):
 
 
 def save(cache_dir: str, key: str, xyzr, vivl, truth_particle, pairs,
-         extra: dict, mirror: np.ndarray, component: np.ndarray) -> str:
+         extra: dict, mirror: np.ndarray, component: np.ndarray,
+         slot_in: np.ndarray = None, slot_out: np.ndarray = None) -> str:
+    """pairs must be DEDUPED (build_graph_state's kept set) when the slot
+    tables are given: the slots index positions within that deduped edge
+    list, and a cached load then skips the dedupe + both edge-table
+    argsorts (~65 ms at full-event scale)."""
     os.makedirs(cache_dir, exist_ok=True)
     hit_flat, hit_off = _flatten(extra["hit_ids"])
     pid_flat, _ = _flatten(extra["hit_particle_ids"])
     mod_flat, mod_off = _flatten(extra["module_ids"])
     path = os.path.join(cache_dir, f"event_{key}.npz")
     tmp = path + ".tmp"
+    arrays = dict(xyzr=xyzr, vivl=vivl, truth_particle=truth_particle,
+                  pairs=pairs, node_ids=np.asarray(extra["node_ids"]),
+                  mirror=np.asarray(mirror), component=np.asarray(component),
+                  hit_flat=hit_flat, hit_off=hit_off, pid_flat=pid_flat,
+                  mod_flat=mod_flat, mod_off=mod_off)
+    if slot_in is not None:
+        arrays["slot_in"] = np.asarray(slot_in, np.uint16)
+        arrays["slot_out"] = np.asarray(slot_out, np.uint16)
     with open(tmp, "wb") as f:
-        np.savez(f, xyzr=xyzr, vivl=vivl, truth_particle=truth_particle,
-                 pairs=pairs, node_ids=np.asarray(extra["node_ids"]),
-                 mirror=np.asarray(mirror), component=np.asarray(component),
-                 hit_flat=hit_flat, hit_off=hit_off, pid_flat=pid_flat,
-                 mod_flat=mod_flat, mod_off=mod_off)
+        np.savez(f, **arrays)
     os.replace(tmp, path)
     return path
 
@@ -76,11 +110,14 @@ def load(cache_dir: str, key: str) -> Optional[tuple]:
     z = np.load(path)
     extra = {
         "node_ids": z["node_ids"],
-        "hit_ids": _unflatten(z["hit_flat"], z["hit_off"]),
-        "hit_particle_ids": _unflatten(z["pid_flat"], z["hit_off"]),
-        "module_ids": _unflatten(z["mod_flat"], z["mod_off"]),
+        "hit_ids": LazyRagged(z["hit_flat"], z["hit_off"]),
+        "hit_particle_ids": LazyRagged(z["pid_flat"], z["hit_off"]),
+        "module_ids": LazyRagged(z["mod_flat"], z["mod_off"]),
         "components": z["component"],
     }
     precomputed = {"mirror": z["mirror"], "component": z["component"]}
+    if "slot_in" in z:
+        precomputed["slot_in"] = z["slot_in"]
+        precomputed["slot_out"] = z["slot_out"]
     return (z["xyzr"], z["vivl"], z["truth_particle"], z["pairs"],
             extra, precomputed)

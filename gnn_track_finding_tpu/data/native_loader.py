@@ -93,11 +93,11 @@ def load_event_arrays_native(nodes_csv: str, edges_csv: str, truth_csv: str,
     finally:
         lib.gnn_free(h)
 
-    hit_list = [hit_ids[hit_offsets[i]:hit_offsets[i + 1]] for i in range(n)]
-    pid_list = [hit_pids[hit_offsets[i]:hit_offsets[i + 1]] for i in range(n)]
-    mod_list = [mod_ids[mod_offsets[i]:mod_offsets[i + 1]] for i in range(n)]
-    extra = {"node_ids": node_ids, "hit_ids": hit_list,
-             "hit_particle_ids": pid_list, "module_ids": mod_list,
+    from gnn_track_finding_tpu.data.event_cache import LazyRagged
+    extra = {"node_ids": node_ids,
+             "hit_ids": LazyRagged(hit_ids, hit_offsets),
+             "hit_particle_ids": LazyRagged(hit_pids, hit_offsets),
+             "module_ids": LazyRagged(mod_ids, mod_offsets),
              "components": comp}
     return xyzr, vivl, truth_pid, pairs.astype(np.int64), extra
 

@@ -134,9 +134,19 @@ def load_event(paths: TrackMLPaths, cfg: PipelineConfig, dtype=None,
         # bug-compat load of the same files would read a wrong mirror
         import numpy as _np
         from gnn_track_finding_tpu.data import event_cache
-        event_cache.save(cache_dir, key, xyzr, vivl, truth_particle, pairs,
-                         extra, _np.asarray(g.mirror)[:g.n_edges],
-                         _np.asarray(g.component)[:xyzr.shape[0]])
+        e = g.n_edges
+        # store the DEDUPED pair list the slot tables index (cache
+        # contract, event_cache.save) — reconstructed from the interleaved
+        # directed edges (2i = u->v)
+        src_np = _np.asarray(g.src)[:e]
+        dst_np = _np.asarray(g.dst)[:e]
+        deduped = _np.stack([src_np[0::2], dst_np[0::2]], axis=1)
+        event_cache.save(cache_dir, key, xyzr, vivl, truth_particle,
+                         deduped.astype(pairs.dtype), extra,
+                         host.mirror[:e],
+                         _np.asarray(g.component)[:xyzr.shape[0]],
+                         slot_in=_np.asarray(g.slot_in)[:e],
+                         slot_out=_np.asarray(g.slot_out)[:e])
     return g, host
 
 

@@ -37,6 +37,11 @@ class HostEvent:
     # reference NetworkX-order replica (graph/nxorder.py) — the driver
     # feeds it each extraction to reproduce the GNN-coordinate leak
     tracker: Optional[object] = None
+    # host copy of the set()-order mirror (true-e length) for the event
+    # cache: in clean mode the DEVICE mirror is identity (never read —
+    # every consumer is bug_compat-gated) and is not transferred, so the
+    # cache writer must take the real one from here
+    mirror: Optional[np.ndarray] = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -99,7 +104,9 @@ def _device_init(h: dict, k: int) -> dict:
 
     xyzr = h["xyzr"]
     layer = h["layer_idx"].astype(jnp.int32)
-    pairs = h["pairs"]
+    pairs = h["pairs"].astype(jnp.int32)        # may ride as uint16
+    truth = (h["truth"].astype(jnp.int32) - 1   # uint16 rides as idx+1
+             if h["truth"].dtype == jnp.uint16 else h["truth"])
     src = pairs.reshape(-1)                     # [u0, v0, u1, v1, ...]
     dst = pairs[:, ::-1].reshape(-1)            # [v0, u0, v1, u1, ...]
     node_mask = jnp.arange(n_pad, dtype=jnp.int32) < h["n"]
@@ -113,24 +120,43 @@ def _device_init(h: dict, k: int) -> dict:
         jnp.where(edge_mask, dst, n_pad), slot_in].set(e_idx, mode="drop")
     out_tab = jnp.full((n_pad, k), -1, jnp.int32).at[
         jnp.where(edge_mask, src, n_pad), slot_out].set(e_idx, mode="drop")
-    mirror = h["mirror"]
-    mirror_src = jnp.where(edge_mask, src[mirror], 0)
+    mirror = (h["mirror"] if "mirror" in h
+              else jnp.arange(e_pad, dtype=jnp.int32))  # clean: identity
 
+    # Derived caches via EDGE-SIZED one-writer scatters, not (N, K)
+    # table-space gathers: the tables hold N*K = ~3.7M slots at the full
+    # event but only E = ~344k are real (~91% padding), and per-element
+    # random access is the binding resource on this init path (measured
+    # ~106 ms for the gather form vs ~2-15 ns/elem access engines —
+    # docs/STAGES.md roofline).  Scattering each real edge's value into
+    # its (owner, slot) cell touches ~10x fewer elements and is
+    # bit-exact: unset cells keep the fill (0 / -1) the gather form's
+    # mask produced.  1-D lookups (layer[src], src[mirror]) use the
+    # blocked gather1d form (docs/DESIGN.md "TPU performance model").
+    from gnn_track_finding_tpu.ops import gtools
+    xyzr_src = xyzr[src]                       # (E,4) full-row gathers
+    xyzr_dst = xyzr[dst]
+    layer_src = gtools.gather1d(layer, src)
+    mirror_src = jnp.where(edge_mask,
+                           src if "mirror" not in h
+                           else gtools.gather1d(src, mirror), 0)
     e_xyzr = jnp.where(edge_mask[:, None],
-                       jnp.concatenate([xyzr[src], xyzr[dst]], axis=1), 0)
-    e_src_layer = jnp.where(edge_mask, layer[src], 0)
-    out_head = jnp.where((out_tab >= 0)[..., None],
-                         xyzr[dst[jnp.maximum(out_tab, 0)]], 0)
-    in_src_rows = xyzr[src[jnp.maximum(in_tab, 0)]]
-    in_src_x = jnp.where(in_tab >= 0, in_src_rows[..., 0], 0)
-    in_src_layer = jnp.where(in_tab >= 0,
-                             layer[src[jnp.maximum(in_tab, 0)]], -1)
+                       jnp.concatenate([xyzr_src, xyzr_dst], axis=1), 0)
+    e_src_layer = jnp.where(edge_mask, layer_src, 0)
+    row_src = jnp.where(edge_mask, src, n_pad)   # padded edges dropped
+    row_dst = jnp.where(edge_mask, dst, n_pad)
+    out_head = jnp.zeros((n_pad, k, 4), dtype).at[
+        row_src, slot_out].set(xyzr_dst, mode="drop")
+    in_src_x = jnp.zeros((n_pad, k), dtype).at[
+        row_dst, slot_in].set(xyzr_src[:, 0], mode="drop")
+    in_src_layer = jnp.full((n_pad, k), -1, jnp.int32).at[
+        row_dst, slot_in].set(layer_src, mode="drop")
     return dict(
         node_mask=node_mask,
         xyzr=xyzr,
         gnn_xyzr=xyzr,      # immutable jax array: safe to alias at build
-        vivl=h["vivl"], layer_idx=layer,
-        truth=h["truth"], component=h["component"],
+        vivl=h["vivl"].astype(jnp.int32), layer_idx=layer,
+        truth=truth, component=h["component"].astype(jnp.int32),
         degree=jnp.zeros(n_pad, jnp.int32),
         has_merged=jnp.zeros(n_pad, bool),
         merged_state=f(n_pad, 3), merged_cov=f(n_pad, 3, 3),
@@ -218,16 +244,23 @@ def build_graph_state(
     without a tracker)."""
     n = xyzr.shape[0]
     precomputed = precomputed or {}
+    cached_slots = "slot_in" in precomputed
 
-    # -- dedupe unordered pairs, keep first occurrence (helper.py:510-518:
-    #    re-adding an existing NetworkX edge is a no-op) --
-    a = np.minimum(edge_pairs[:, 0], edge_pairs[:, 1])
-    b = np.maximum(edge_pairs[:, 0], edge_pairs[:, 1])
-    key = a.astype(np.int64) * n + b
-    _, first_idx = np.unique(key, return_index=True)
-    keep = np.sort(first_idx)
-    pairs = edge_pairs[keep]
-    pairs = pairs[pairs[:, 0] != pairs[:, 1]]  # defensive: drop self-loops
+    if cached_slots:
+        # pairs from the event cache are already the deduped kept set the
+        # cached slot tables index (event_cache.save contract)
+        pairs = edge_pairs
+    else:
+        # -- dedupe unordered pairs, keep first occurrence
+        #    (helper.py:510-518: re-adding an existing NetworkX edge is a
+        #    no-op) --
+        a = np.minimum(edge_pairs[:, 0], edge_pairs[:, 1])
+        b = np.maximum(edge_pairs[:, 0], edge_pairs[:, 1])
+        key = a.astype(np.int64) * n + b
+        _, first_idx = np.unique(key, return_index=True)
+        keep = np.sort(first_idx)
+        pairs = edge_pairs[keep]
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]  # defensive: no self-loops
 
     m = pairs.shape[0]
     e = 2 * m
@@ -251,20 +284,13 @@ def build_graph_state(
 
     # -- dense layer index over in_volume_layer_id (helper.py:53) --
     layers = np.unique(vivl[:, 1])
-    layer_map = {int(l): i for i, l in enumerate(layers)}
-    layer_idx = np.array([layer_map[int(l)] for l in vivl[:, 1]], np.int32)
+    layer_idx = np.searchsorted(layers, vivl[:, 1]).astype(np.int32)
 
     # -- dense truth particle index (original ids exceed int32) --
     uniq_pids, truth_idx = np.unique(truth_particle, return_inverse=True)
     truth_idx = truth_idx.astype(np.int32)
 
     # -- fixed-K edge tables in insertion order --
-    in_deg = np.bincount(dst, minlength=n)
-    out_deg = np.bincount(src, minlength=n)
-    max_deg = int(max(in_deg.max() if n else 0, out_deg.max() if n else 0))
-    k = cfg.max_node_degree
-    while k < max_deg:
-        k *= 2
     def edge_table(keys: np.ndarray):
         tab = np.full((n, k), -1, np.int32)
         slot = np.zeros(e, np.int32)
@@ -275,8 +301,33 @@ def build_graph_state(
         slot[order] = pos.astype(np.int32)
         return tab, slot
 
-    in_tab, slot_in = edge_table(dst)
-    out_tab, slot_out = edge_table(src)
+    if cached_slots:
+        # slots are positions within each node's edge list — independent
+        # of the table width K, so they survive cfg.max_node_degree
+        # changes; the host in/out tables themselves are only needed by
+        # the RefOrderTracker (the device rebuilds its own in
+        # _device_init's one-writer scatters)
+        slot_in = np.asarray(precomputed["slot_in"], np.int32)[:e]
+        slot_out = np.asarray(precomputed["slot_out"], np.int32)[:e]
+        max_deg = int(max(slot_in.max(initial=-1),
+                          slot_out.max(initial=-1))) + 1
+        k = cfg.max_node_degree
+        while k < max_deg:
+            k *= 2
+        in_tab = out_tab = None
+        if with_tracker:
+            in_tab, _ = edge_table(dst)
+            out_tab, _ = edge_table(src)
+    else:
+        in_deg = np.bincount(dst, minlength=n)
+        out_deg = np.bincount(src, minlength=n)
+        max_deg = int(max(in_deg.max() if n else 0,
+                          out_deg.max() if n else 0))
+        k = cfg.max_node_degree
+        while k < max_deg:
+            k *= 2
+        in_tab, slot_in = edge_table(dst)
+        out_tab, slot_out = edge_table(src)
 
     # mirror edge per directed edge (reference tau-pairing defect,
     # helper.py:349-429): for each node, the neighbour iteration order is
@@ -323,21 +374,39 @@ def build_graph_state(
     # and ~8 MB host->device instead of ~40 for the full event (edge
     # tables, masks, src/dst, mirror_src and all zero buffers are
     # reconstructed on device).
-    pairs_pad = np.zeros((e_pad // 2, 2), np.int32)
-    pairs_pad[:m] = pairs.astype(np.int32)
+    # Narrowed transfer dtypes: the relay moves ~70 MB/s host->device, so
+    # every byte of the per-event host set is stream throughput.  All
+    # narrowings are gated on the value range actually fitting and are
+    # widened back (bit-exactly) in _device_init; the GraphState dtypes
+    # are unchanged.
+    narrow_n = n_pad <= 0xFFFF                    # node ids fit uint16
+    pairs_dt = np.uint16 if narrow_n else np.int32
+    pairs_pad = np.zeros((e_pad // 2, 2), pairs_dt)
+    pairs_pad[:m] = pairs.astype(pairs_dt)
     assert k <= np.iinfo(np.uint16).max
+    slot_dt = np.uint8 if k <= 256 else np.uint16
+    vivl_narrow = (n == 0 or (vivl.min() >= 0
+                              and vivl.max() <= np.iinfo(np.uint16).max))
+    layer_dt = np.uint8 if len(layers) <= 256 else np.int32
     host_arrays = dict(
         xyzr=padn(xyzr.astype(np.float64)).astype(np.dtype(dtype)),
-        vivl=padn(vivl.astype(np.int32)),
-        layer_idx=padn(layer_idx),
-        truth=padn(truth_idx, fill=-1),
-        component=padn(component),
+        vivl=padn(vivl.astype(np.uint16 if vivl_narrow else np.int32)),
+        layer_idx=padn(layer_idx.astype(layer_dt)),
+        # uint16 truth rides as idx+1 with 0 padding (-1 after widening)
+        truth=(padn((truth_idx + 1).astype(np.uint16)) if narrow_n
+               else padn(truth_idx, fill=-1)),
+        component=padn(component.astype(np.uint16 if narrow_n
+                                        else np.int32)),
         pairs=pairs_pad,
-        slot_in=pade(slot_in.astype(np.uint16)),
-        slot_out=pade(slot_out.astype(np.uint16)),
-        mirror=pade(mirror),
+        slot_in=pade(slot_in.astype(slot_dt)),
+        slot_out=pade(slot_out.astype(slot_dt)),
         n=np.int32(n), e=np.int32(e),
     )
+    if cfg.bug_compat:
+        # clean mode never reads the mirror (every consumer is gated,
+        # ops/seeding.py) — skip the 1.4 MB transfer; device mirror is
+        # identity then (pinned by tests/test_graph_build.py)
+        host_arrays["mirror"] = pade(mirror)
     dev = _device_init(host_arrays, k)
     g = GraphState(
         n_nodes=n, n_edges=e, max_degree=k, n_layers=len(layers),
@@ -349,5 +418,6 @@ def build_graph_state(
         hit_particle_ids=(host_extra or {}).get("hit_particle_ids"),
         module_ids=(host_extra or {}).get("module_ids"),
         tracker=tracker,
+        mirror=np.asarray(mirror, np.int32),
     )
     return g, host
