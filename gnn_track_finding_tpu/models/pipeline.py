@@ -452,8 +452,8 @@ def stream_pipeline(graphs, cfg: PipelineConfig, depth: int = 1):
     next event's device compute.  With the prefetch loader feeding
     `graphs` (data/prefetch.py), three things overlap per event: ingest
     of i+2, device compute of i+1, readback of i.  Measured on the real
-    chip: 2.25 -> 2.86 events/s over the plain fast driver
-    (BASELINE.md round-5 streaming table).
+    chip: 4.39 events/s sustained with the packed readback + slimmed
+    ingest chain (BASELINE.md round-5 streaming table).
 
     `depth` is the number of dispatched-but-unread events kept in
     flight; >1 queues extra schedules on the device stream so relay
