@@ -331,10 +331,16 @@ def full_pipeline_packed(g: GraphState, cfg: PipelineConfig):
     fetches totalling ~0.84 MB roughly halves the per-event readback leg
     (BASELINE.md round-5 streaming anatomy).  Returns
     (final_graph, packed); the graph stays resident on device."""
-    import jax.numpy as jnp
     g2, counts, nodes, pvals = full_pipeline_results(g, cfg)
-    n_it, cap, track_len = nodes.shape            # static under jit
     narrow = g.xyzr.shape[0] <= 0xFFFF            # ids <= n_pad-1 < sentinel
+    return g2, pack_results(counts, nodes, pvals, narrow)
+
+
+def pack_results(counts, nodes, pvals, narrow: bool):
+    """Pack (counts (I,), nodes (I,cap,L) int32/-1 pad, pvals (I,cap,2))
+    into one flat uint32 buffer (jittable; exact inverse unpack_results)."""
+    import jax.numpy as jnp
+    n_it, cap, track_len = nodes.shape            # static under jit
     if narrow:
         # low 16 bits via bitcast+mask (well-defined for the -1 padding:
         # 0xffff sentinel; valid ids < n_pad <= 0xffff convert exactly)
@@ -355,24 +361,17 @@ def full_pipeline_packed(g: GraphState, cfg: PipelineConfig):
             pvals.reshape(-1).astype(jnp.float32), jnp.uint32)
     header = jnp.array([cap, track_len, int(narrow), int(pv_wide)],
                        jnp.uint32)
-    packed = jnp.concatenate([header, counts.astype(jnp.uint32), nd32, pv32])
-    return g2, packed
+    return jnp.concatenate([header, counts.astype(jnp.uint32), nd32, pv32])
 
 
-def _unpack_packed(g_in: GraphState, g_out, packed,
-                   cfg: PipelineConfig) -> PipelineResult:
-    """Pull the single packed buffer and rebuild candidates — the exact
-    inverse of full_pipeline_packed's layout (header / counts / nodes /
-    pvals).  Falls back to the exact-count stage driver if any
-    iteration's accepted count exceeded the pull cap (never observed;
-    see ACC_PULL_CAP)."""
-    n_it = cfg.num_iterations
-    buf = np.asarray(jax.device_get(packed))
+def unpack_results(buf: np.ndarray, n_it: int):
+    """Host-side inverse of pack_results.
+
+    -> (counts (I,), nodes (I,cap,L) int32, pvals (I,cap,2), sentinel) —
+    node entries equal to `sentinel` are padding."""
     cap, track_len, narrow, pv_wide = (int(buf[0]), int(buf[1]),
                                        bool(buf[2]), bool(buf[3]))
     counts = buf[4:4 + n_it].astype(np.int64)
-    if counts.max(initial=0) > cap:
-        return run_pipeline(g_in, cfg)
     n_nd = n_it * cap * track_len
     off = 4 + n_it
     if narrow:
@@ -388,6 +387,21 @@ def _unpack_packed(g_in: GraphState, g_out, packed,
     pv_dtype = np.float64 if pv_wide else np.float32
     pvals = np.ascontiguousarray(buf[off:]).view(pv_dtype) \
         .reshape(n_it, cap, 2)
+    return counts, nodes, pvals, sentinel
+
+
+def _unpack_packed(g_in: GraphState, g_out, packed,
+                   cfg: PipelineConfig) -> PipelineResult:
+    """Pull the single packed buffer and rebuild candidates — the exact
+    inverse of full_pipeline_packed's layout (header / counts / nodes /
+    pvals).  Falls back to the exact-count stage driver if any
+    iteration's accepted count exceeded the pull cap (never observed;
+    see ACC_PULL_CAP)."""
+    n_it = cfg.num_iterations
+    buf = np.asarray(jax.device_get(packed))
+    counts, nodes, pvals, sentinel = unpack_results(buf, n_it)
+    if counts.max(initial=0) > nodes.shape[1]:
+        return run_pipeline(g_in, cfg)
     candidates: List[Candidate] = []
     for it in range(n_it):
         for c in range(int(counts[it])):

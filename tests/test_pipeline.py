@@ -201,3 +201,53 @@ def test_distinct_counts_share_compile():
         # the metadata round-trips through the normalised dispatch
         assert out.graph.n_nodes == g.n_nodes
         assert out.graph.n_edges == g.n_edges
+
+
+def test_pack_unpack_results_round_trip():
+    """pack_results / unpack_results are exact inverses on every layout
+    combination the packed readback can take: narrow (uint16 ids,
+    0xffff sentinel) vs wide (int32 bitcast, -1 sentinel), f32 vs f64
+    p-values, odd and even node-section lengths."""
+    import itertools
+    rng = np.random.default_rng(0)
+    from gnn_track_finding_tpu.models.pipeline import (pack_results,
+                                                       unpack_results)
+    for narrow, wide_pv, (cap, L) in itertools.product(
+            (True, False), (True, False), ((5, 7), (4, 8))):
+        n_it = 3
+        nodes = rng.integers(0, 0xFFFF if narrow else 2**30,
+                             size=(n_it, cap, L)).astype(np.int32)
+        pad = rng.random(nodes.shape) < 0.4
+        nodes[pad] = -1
+        counts = rng.integers(0, cap + 1, size=(n_it,)).astype(np.int32)
+        pvals = rng.standard_normal((n_it, cap, 2)).astype(
+            np.float64 if wide_pv else np.float32)
+        import jax.numpy as jnp
+        buf = np.asarray(pack_results(jnp.asarray(counts),
+                                      jnp.asarray(nodes),
+                                      jnp.asarray(pvals), narrow))
+        c2, n2, p2, sentinel = unpack_results(buf, n_it)
+        np.testing.assert_array_equal(c2, counts)
+        np.testing.assert_array_equal(p2, pvals)  # bit-exact bitcast
+        expect = nodes.copy()
+        expect[nodes == -1] = sentinel
+        np.testing.assert_array_equal(n2, expect)
+
+
+def test_unpack_packed_cap_overflow_falls_back(monkeypatch):
+    """If any iteration's accepted count exceeds the pull cap, the fast
+    driver must fall back to the exact-count stage driver rather than
+    truncate candidates."""
+    import jax.numpy as jnp
+    from gnn_track_finding_tpu.models.pipeline import (pack_results,
+                                                       _unpack_packed)
+    n_it, cap, L = CFG.num_iterations, 4, 6
+    nodes = np.full((n_it, cap, L), -1, np.int32)
+    counts = np.array([cap + 3] + [0] * (n_it - 1), np.int32)  # overflow
+    pvals = np.zeros((n_it, cap, 2), np.float32)
+    buf = pack_results(jnp.asarray(counts), jnp.asarray(nodes),
+                       jnp.asarray(pvals), True)
+    sentinel = object()
+    monkeypatch.setattr(pipeline, "run_pipeline",
+                        lambda g, cfg: sentinel)
+    assert _unpack_packed("g_in", "g_out", buf, CFG) is sentinel
