@@ -39,7 +39,16 @@ def main() -> None:
                              "schedule (run_pipeline_fast) + binary event "
                              "cache; skips the parity tracker / leak "
                              "emulation")
+    parser.add_argument("--stream", type=int, default=0, metavar="N",
+                        help="stream the event N times through the "
+                             "production driver (prefetch loader + "
+                             "pipelined stream_pipeline, implies --fast) "
+                             "and report sustained events/s; for "
+                             "path-distinct cold streams see "
+                             "tools/bench_cold_stream.py")
     args = parser.parse_args()
+    if args.stream:
+        args.fast = True
 
     import jax
     if not args.f32:
@@ -98,6 +107,26 @@ def main() -> None:
               f"{time.time() - t0:.1f}s; thresholds "
               f"[{float(kl_thresholds.min()):.3g}, "
               f"{float(kl_thresholds.max()):.3g}]")
+
+    if args.stream and not args.toy:
+        from gnn_track_finding_tpu.data import prefetch, trackml
+        pipeline.run_pipeline_fast(g, cfg)      # warm compiles + cache
+        loader = prefetch.prefetch_trackml(
+            [trackml.DEFAULT_EVENT] * args.stream, cfg, dtype=dtype,
+            depth=2, cache_dir="/root/repo/.event_cache",
+            with_tracker=False)
+        t0 = time.time()
+        n_cand = sum(len(o.candidates)
+                     for o in pipeline.stream_pipeline(loader, cfg))
+        dt = time.time() - t0
+        print(f"[stream] {args.stream} events in {dt:.1f}s = "
+              f"{args.stream / dt:.2f} events/s sustained "
+              f"({n_cand} candidates)")
+        if args.json:
+            print(json.dumps({"events": args.stream,
+                              "events_per_s": args.stream / dt,
+                              "candidates": n_cand}))
+        return
 
     t0 = time.time()
     if args.fast and kl_thresholds is None:
